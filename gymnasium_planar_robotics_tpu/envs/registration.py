@@ -1,0 +1,32 @@
+"""Environment registration.
+
+TPU-native counterpart of the reference's registry
+(``/root/reference/gymnasium_planar_robotics/__init__.py:21-41``): registers the
+same env ids with the same 50-step time limit, but the entry points construct
+thin Gymnasium adapters over the batched JAX core.
+"""
+
+from __future__ import annotations
+
+_REGISTERED = False
+
+
+def register_gymnasium_envs() -> None:
+    """Register the benchmark environments with the Gymnasium registry (idempotent)."""
+    global _REGISTERED
+    if _REGISTERED:
+        return
+    import gymnasium as gym
+
+    # reference registers with max_episode_steps=50 (__init__.py:25-41)
+    gym.register(
+        id='BenchmarkPlanningEnv-v0',
+        entry_point='gymnasium_planar_robotics_tpu.envs.gym_env:make_planning_env',
+        max_episode_steps=50,
+    )
+    gym.register(
+        id='BenchmarkPushingEnv-v0',
+        entry_point='gymnasium_planar_robotics_tpu.envs.gym_env:make_pushing_env',
+        max_episode_steps=50,
+    )
+    _REGISTERED = True

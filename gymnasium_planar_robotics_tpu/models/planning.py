@@ -1,0 +1,462 @@
+"""BenchmarkPlanningEnv, TPU-native: pure-functional batched motion planning.
+
+Re-design of ``/root/reference/gymnasium_planar_robotics/envs/planning/
+benchmark_planning_env.py`` (collision-free multi-mover goal reaching with
+jerk- or acceleration-limited actuation).  Instead of the reference's
+XML-rebuild-per-reset + 40x(Python callback -> MuJoCo FFI -> collision pass)
+step loop (basic_envs.py:1879-1905), the whole environment is three pure
+functions over a static config and an array pytree:
+
+    reset(config, params, key)           -> (state, obs, info)
+    step(config, params, state, action)  -> (state, obs, reward, term, trunc, info)
+    step_autoreset(...)                  -> same, resetting done envs in-place
+
+Everything is single-env shaped; batch with ``jax.vmap`` and shard the batch
+axis with ``NamedSharding`` (see ``parallel/``).  The 40-cycle hot loop is a
+``lax.scan`` with a latched collision mask replacing the reference's ``break``
+(no further integration after a collision, basic_envs.py:1847-1850, 1902-1905).
+
+Correctness bar (validated in tests/test_planning_env.py): bit-identical
+float64 trajectories vs. the reference MuJoCo env at ``std_noise=0`` for fixed
+action sequences, and the reference's own physics-oracle tests reproduced.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gymnasium_planar_robotics_tpu.models import common
+from gymnasium_planar_robotics_tpu.ops import dynamics
+from gymnasium_planar_robotics_tpu.ops.grid import TileGrid, make_tile_grid
+
+REWARD_SUCCESS = 50.0  # benchmark_planning_env.py:220
+
+
+@dataclasses.dataclass(frozen=True)
+class PlanningConfig:
+    """Static (hashable) structure of the env — anything that changes shapes
+    or trace structure."""
+
+    num_movers: int
+    num_cycles: int = 40
+    learn_jerk: bool = False
+    collision_shape: str = 'circle'  # 'circle' | 'box'
+    max_reset_trials: int = 100
+    max_episode_steps: int = 50  # TimeLimit applied by step_autoreset / adapters
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PlanningParams:
+    """Array-valued parameters (a pytree; shardable/donatable)."""
+
+    grid: TileGrid
+    mover_mass: jax.Array  # [M]
+    mover_size: jax.Array  # [M, 3] half-extents
+    c_size: jax.Array  # [M] (circle) or [M, 2] (box)
+    c_offset: jax.Array  # scalar: collision_params['offset']
+    c_offset_wall: jax.Array  # scalar: collision_params['offset_wall']
+    std_noise: jax.Array  # [3] pos/vel/acc sensor noise std
+    v_max: jax.Array
+    a_max: jax.Array
+    j_max: jax.Array
+    threshold_pos: jax.Array
+    initial_zpos: jax.Array
+    dt: jax.Array  # cycle time (MuJoCo timestep), 0.001
+    min_xy: jax.Array  # [2] sampling bounds (benchmark_planning_env.py:262-267)
+    max_xy: jax.Array
+    min_goal_dist: jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PlanningState:
+    """Per-env dynamic state (vmap over a leading batch axis)."""
+
+    pos: jax.Array  # [M, 2]
+    vel: jax.Array  # [M, 2]
+    acc: jax.Array  # [M, 2] last applied acceleration (MuJoCo qacc)
+    act: jax.Array  # [M, 2] jerk-integrator activation state
+    goals: jax.Array  # [M, 2]
+    key: jax.Array  # jax PRNG key
+    steps: jax.Array  # int32 env steps taken this episode
+
+
+def make_planning_env(
+    layout_tiles,
+    num_movers: int,
+    tile_params: dict[str, Any] | None = None,
+    mover_params: dict[str, Any] | None = None,
+    initial_mover_zpos: float = 0.003,
+    std_noise=1e-5,
+    num_cycles: int = 40,
+    collision_params: dict[str, Any] | None = None,
+    v_max: float = 2.0,
+    a_max: float = 10.0,
+    j_max: float = 100.0,
+    learn_jerk: bool = False,
+    threshold_pos: float = 0.1,
+    dtype=jnp.float32,
+    max_reset_trials: int = 100,
+) -> tuple[PlanningConfig, PlanningParams]:
+    """Host-side constructor mirroring the reference's kwargs
+    (benchmark_planning_env.py:165-291)."""
+    tile_params = tile_params or {}
+    mover_params = mover_params or {}
+    collision_params = collision_params or {}
+
+    tile_size = np.asarray(tile_params.get('size', np.array([0.24 / 2, 0.24 / 2, 0.0352 / 2])))
+    grid = make_tile_grid(layout_tiles, tile_size, dtype=dtype)
+
+    mover_mass = np.broadcast_to(np.asarray(mover_params.get('mass', 1.24), dtype=np.float64).reshape(-1), (num_movers,))
+    mover_size = np.asarray(mover_params.get('size', np.array([0.155 / 2, 0.155 / 2, 0.012 / 2])))
+    mover_size = np.broadcast_to(mover_size.reshape(-1, 3), (num_movers, 3))
+
+    c_shape = collision_params.get('shape', 'circle')
+    c_size_in = collision_params.get('size', 0.11)
+    c_offset = float(collision_params.get('offset', 0.0))
+    c_offset_wall = float(collision_params.get('offset_wall', 0.0))
+    c_size = common.expand_c_size(c_size_in, num_movers, c_shape, dtype)
+
+    std = np.asarray(std_noise, dtype=np.float64).reshape(-1)
+    std = np.broadcast_to(std, (3,)) if std.shape == (1,) else std
+    assert std.shape == (3,)
+
+    # sampling bounds: grid bbox shrunk by the full safety margin
+    # (benchmark_planning_env.py:262-267; for 'box' the margin is the 2-vector)
+    if c_shape == 'circle':
+        margin = np.asarray(c_size_in).reshape(-1)[0] + c_offset + c_offset_wall
+        margin = np.array([margin, margin])
+    else:
+        margin = np.asarray(c_size_in).reshape(-1, 2)[0] + c_offset + c_offset_wall
+    hi = np.array(
+        [
+            layout_tiles.shape[0] * 2 * tile_size[0],
+            layout_tiles.shape[1] * 2 * tile_size[1],
+        ]
+    )
+
+    config = PlanningConfig(
+        num_movers=num_movers,
+        num_cycles=num_cycles,
+        learn_jerk=learn_jerk,
+        collision_shape=c_shape,
+        max_reset_trials=max_reset_trials,
+    )
+    params = PlanningParams(
+        grid=grid,
+        mover_mass=jnp.asarray(mover_mass, dtype),
+        mover_size=jnp.asarray(mover_size, dtype),
+        c_size=c_size,
+        c_offset=jnp.asarray(c_offset, dtype),
+        c_offset_wall=jnp.asarray(c_offset_wall, dtype),
+        std_noise=jnp.asarray(std, dtype),
+        v_max=jnp.asarray(v_max, dtype),
+        a_max=jnp.asarray(a_max, dtype),
+        j_max=jnp.asarray(j_max, dtype),
+        threshold_pos=jnp.asarray(threshold_pos, dtype),
+        initial_zpos=jnp.asarray(initial_mover_zpos, dtype),
+        dt=jnp.asarray(0.001, dtype),
+        min_xy=jnp.asarray(margin, dtype),
+        max_xy=jnp.asarray(hi - margin, dtype),
+        min_goal_dist=common.min_goal_distance(c_size, jnp.asarray(c_offset, dtype), c_shape),
+    )
+    return config, params
+
+
+# ---------------------------------------------------------------------------
+# collision checks (shared by reset and the cycle loop)
+# ---------------------------------------------------------------------------
+
+
+def _noisy_collision_checks(
+    config: PlanningConfig,
+    params: PlanningParams,
+    key: jax.Array,
+    pos: jnp.ndarray,
+    wall_safety_offset: bool,
+    mover_safety_offset: bool,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(wall_collision, mover_collision) with fresh sensor noise, mirroring the
+    two per-cycle checks at basic_envs.py:1888-1901 (each check draws its own
+    noise, as the reference's separate get_mover_qpos calls do)."""
+    k_wall, k_mover = jax.random.split(key)
+    std0 = params.std_noise[0]
+    dtype = pos.dtype
+
+    xy_w, quat_w = common.noisy_xy_quat(k_wall, pos, std0, dtype)
+    c_wall = params.c_size + params.c_offset_wall + jnp.where(wall_safety_offset, params.c_offset, 0.0)
+    wall = common.wall_collision_any(params.grid, xy_w, quat_w, c_wall, config.collision_shape)
+
+    xy_m, quat_m = common.noisy_xy_quat(k_mover, pos, std0, dtype)
+    c_mover = params.c_size + jnp.where(mover_safety_offset, params.c_offset, 0.0)
+    mover = common.mover_collision_any(xy_m, quat_m, c_mover, config.collision_shape)
+    return wall, mover
+
+
+# ---------------------------------------------------------------------------
+# reset
+# ---------------------------------------------------------------------------
+
+
+def _rejection_sample(key, sample_fn, accept_fn, max_trials: int):
+    """Bounded rejection sampler: keeps drawing until accepted or max_trials.
+
+    Returns (sample, accepted, trials).  The reference's unbounded while loops
+    (benchmark_planning_env.py:369-413) become a ``lax.while_loop`` with a
+    trial bound so resets stay jittable; a stall shows up as trials ==
+    max_trials in the info dict instead of a log-warning spin.
+    """
+
+    def cond(carry):
+        _, _, ok, trials = carry
+        return jnp.logical_and(~ok, trials < max_trials)
+
+    def body(carry):
+        key, _, _, trials = carry
+        key, sub = jax.random.split(key)
+        sample = sample_fn(sub)
+        return key, sample, accept_fn(sample), trials + 1
+
+    key, first = jax.random.split(key)
+    init_sample = sample_fn(first)
+    carry = (key, init_sample, accept_fn(init_sample), jnp.asarray(1, jnp.int32))
+    _, sample, ok, trials = jax.lax.while_loop(cond, body, carry)
+    return sample, ok, trials
+
+
+def reset(
+    config: PlanningConfig, params: PlanningParams, key: jax.Array
+) -> tuple[PlanningState, dict[str, jnp.ndarray], dict[str, jnp.ndarray]]:
+    """Sample collision-free starts and reachable, separated goals; build a
+    fresh episode state (reference _reset_callback + base reset,
+    benchmark_planning_env.py:355-418, basic_envs.py:1770-1833)."""
+    m = config.num_movers
+    dtype = params.min_xy.dtype
+    key, k_start, k_goal, k_noise, next_key = jax.random.split(key, 5)
+
+    def sample_xy(k):
+        return jax.random.uniform(k, (m, 2), dtype, params.min_xy, params.max_xy)
+
+    ident = jnp.tile(jnp.asarray([common.IDENTITY_QUAT], dtype), (m, 1))
+    c_wall_sample = params.c_size + params.c_offset_wall + params.c_offset
+    c_mover_sample = params.c_size + params.c_offset
+
+    def accept_start(xy):
+        from gymnasium_planar_robotics_tpu.ops import walls
+
+        valid = walls.qpos_is_valid(params.grid, xy, c_wall_sample, quat=ident, collision_shape=config.collision_shape).all()
+        no_col = ~common.mover_collision_any(xy, ident, c_mover_sample, config.collision_shape)
+        return valid & no_col
+
+    def accept_goal(xy):
+        from gymnasium_planar_robotics_tpu.ops import walls
+
+        reachable = walls.qpos_is_valid(
+            params.grid, xy, c_wall_sample, quat=ident, collision_shape=config.collision_shape
+        ).all()
+        if m > 1:
+            ii, jj = np.triu_indices(m, k=1)
+            dist = jnp.linalg.norm(xy[ii] - xy[jj], axis=-1)
+            separated = (dist >= params.min_goal_dist).all()
+        else:
+            separated = jnp.asarray(True)
+        return reachable & separated
+
+    start_xy, start_ok, start_trials = _rejection_sample(k_start, sample_xy, accept_start, config.max_reset_trials)
+    goal_xy, goal_ok, goal_trials = _rejection_sample(k_goal, sample_xy, accept_goal, config.max_reset_trials)
+
+    zeros = jnp.zeros((m, 2), dtype)
+    state = PlanningState(
+        pos=start_xy,
+        vel=zeros,
+        acc=zeros,
+        act=zeros,
+        goals=goal_xy,
+        key=next_key,
+        steps=jnp.asarray(0, jnp.int32),
+    )
+
+    # base-class reset re-checks with noise (wall with offset, mover without —
+    # basic_envs.py:1799-1805)
+    k_checks, k_obs = jax.random.split(k_noise)
+    wall, mover = _noisy_collision_checks(config, params, k_checks, start_xy, wall_safety_offset=True, mover_safety_offset=False)
+    obs = _get_obs(config, params, state, k_obs)
+    info = _get_info(config, params, obs, mover, wall)
+    info['reset_stalled'] = ~(start_ok & goal_ok)
+    info['reset_trials'] = start_trials + goal_trials
+    return state, obs, info
+
+
+# ---------------------------------------------------------------------------
+# step
+# ---------------------------------------------------------------------------
+
+
+def step(
+    config: PlanningConfig, params: PlanningParams, state: PlanningState, action: jnp.ndarray
+) -> tuple[PlanningState, dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray, jnp.ndarray, dict[str, jnp.ndarray]]:
+    """One env step = ``num_cycles`` 1 ms control cycles with per-cycle noisy
+    collision checks and a latched early stop (basic_envs.py:1835-1950)."""
+    m = config.num_movers
+    dtype = state.pos.dtype
+    limit = params.j_max if config.learn_jerk else params.a_max
+    action = jnp.clip(jnp.asarray(action, dtype).reshape(m, 2), -limit, limit)
+
+    key, k_cycles, k_obs = jax.random.split(state.key, 3)
+
+    def cycle(carry, k):
+        pos, vel, acc, act, wall, mover, done = carry
+        k_vel, k_checks = jax.random.split(k)
+        # noisy velocity reading for the clamp chain (benchmark_planning_env.py:430)
+        vel_meas = vel + jax.random.normal(k_vel, (m, 6), dtype)[:, :2] * params.std_noise[1]
+        if config.learn_jerk:
+            res = dynamics.jerk_cycle(pos, vel, act, vel_meas, action, params.v_max, params.a_max, params.dt)
+        else:
+            res = dynamics.acceleration_cycle(pos, vel, vel_meas, action, params.v_max, params.dt)
+        new_wall, new_mover = _noisy_collision_checks(
+            config, params, k_checks, res.pos, wall_safety_offset=False, mover_safety_offset=False
+        )
+        # latch: once done, state freezes and flags keep their value at the
+        # colliding cycle (reference `break`, basic_envs.py:1902-1905)
+        pos = jnp.where(done, pos, res.pos)
+        vel = jnp.where(done, vel, res.vel)
+        acc = jnp.where(done, acc, res.acc)
+        act = jnp.where(done, act, res.act)
+        wall = jnp.where(done, wall, new_wall)
+        mover = jnp.where(done, mover, new_mover)
+        done = done | wall | mover
+        return (pos, vel, acc, act, wall, mover, done), None
+
+    init = (
+        state.pos,
+        state.vel,
+        state.acc,
+        state.act,
+        jnp.asarray(False),
+        jnp.asarray(False),
+        jnp.asarray(False),
+    )
+    (pos, vel, acc, act, wall, mover, _), _ = jax.lax.scan(cycle, init, jax.random.split(k_cycles, config.num_cycles))
+
+    new_state = PlanningState(
+        pos=pos, vel=vel, acc=acc, act=act, goals=state.goals, key=key, steps=state.steps + 1
+    )
+    obs = _get_obs(config, params, new_state, k_obs)
+    info = _get_info(config, params, obs, mover, wall)
+    reward = compute_reward(config, params, obs['achieved_goal'], obs['desired_goal'], mover, wall)
+    terminated = jnp.abs(reward) == REWARD_SUCCESS  # benchmark_planning_env.py:477-479
+    truncated = jnp.asarray(False)  # TimeLimit handled by adapters / autoreset
+    return new_state, obs, reward, terminated, truncated, info
+
+
+def _get_obs(
+    config: PlanningConfig, params: PlanningParams, state: PlanningState, key: jax.Array
+) -> dict[str, jnp.ndarray]:
+    """Noisy velocities (+accelerations in jerk mode), noisy positions as the
+    achieved goal (benchmark_planning_env.py:536-573)."""
+    m = config.num_movers
+    dtype = state.pos.dtype
+    k_pos, k_vel = jax.random.split(key)
+    pos_noisy = state.pos + jax.random.normal(k_pos, (m, 7), dtype)[:, :2] * params.std_noise[0]
+    vel_noisy = state.vel + jax.random.normal(k_vel, (m, 6), dtype)[:, :2] * params.std_noise[1]
+    if config.learn_jerk:
+        observation = jnp.concatenate([vel_noisy, state.acc], axis=0).reshape(-1)
+    else:
+        observation = vel_noisy.reshape(-1)
+    return {
+        'observation': observation,
+        'achieved_goal': pos_noisy.reshape(-1),
+        'desired_goal': state.goals.reshape(-1),
+    }
+
+
+def _get_info(config, params, obs, mover_collision, wall_collision) -> dict[str, jnp.ndarray]:
+    dist = _goal_distances(config, obs['achieved_goal'], obs['desired_goal'])
+    is_success = (dist <= params.threshold_pos).all() & ~mover_collision & ~wall_collision
+    return {
+        'is_success': is_success,
+        'mover_collision': mover_collision,
+        'wall_collision': wall_collision,
+    }
+
+
+def _goal_distances(config: PlanningConfig, achieved: jnp.ndarray, desired: jnp.ndarray) -> jnp.ndarray:
+    a = achieved.reshape(*achieved.shape[:-1], config.num_movers, 2)
+    d = desired.reshape(*desired.shape[:-1], config.num_movers, 2)
+    return jnp.linalg.norm(a - d, axis=-1)
+
+
+def compute_reward(
+    config: PlanningConfig,
+    params: PlanningParams,
+    achieved_goal: jnp.ndarray,
+    desired_goal: jnp.ndarray,
+    mover_collision: jnp.ndarray,
+    wall_collision: jnp.ndarray,
+) -> jnp.ndarray:
+    """HER-compatible batched reward (benchmark_planning_env.py:502-534):
+    +50 all goals reached, -50 on collision, else -(#unreached).  Pure
+    function of (achieved, desired, collision flags) — collision flags ride in
+    ``info`` exactly so HER relabeling never re-runs collision checks."""
+    dist = _goal_distances(config, achieved_goal, desired_goal)
+    num_reached = (dist <= params.threshold_pos).sum(axis=-1)
+    collided = mover_collision | wall_collision
+    reward = jnp.where(collided, -REWARD_SUCCESS, -(config.num_movers - num_reached).astype(dist.dtype))
+    all_reached = num_reached == config.num_movers
+    return jnp.where(all_reached & ~collided, REWARD_SUCCESS, reward)
+
+
+# ---------------------------------------------------------------------------
+# auto-reset wrapper (the batch/throughput entry point)
+# ---------------------------------------------------------------------------
+
+
+def step_autoreset(
+    config: PlanningConfig, params: PlanningParams, state: PlanningState, action: jnp.ndarray
+):
+    """Step with in-place episode restart: done (terminated or 50-step
+    time limit) envs are replaced by freshly reset episodes.  Returns
+    ``(state, obs, reward, terminated, truncated, info)`` where ``obs`` is the
+    first observation of the new episode for restarted envs (the pre-restart
+    observation is in ``info['final_observation']``)."""
+    new_state, obs, reward, terminated, _, info = step(config, params, state, action)
+    truncated = new_state.steps >= config.max_episode_steps
+    done = terminated | truncated
+
+    reset_key, carry_key = jax.random.split(new_state.key)
+    reset_state, reset_obs, _ = reset(config, params, reset_key)
+
+    def pick(a, b):
+        return jnp.where(jnp.reshape(done, (1,) * a.ndim), b, a) if a.ndim else jnp.where(done, b, a)
+
+    kept = PlanningState(
+        pos=pick(new_state.pos, reset_state.pos),
+        vel=pick(new_state.vel, reset_state.vel),
+        acc=pick(new_state.acc, reset_state.acc),
+        act=pick(new_state.act, reset_state.act),
+        goals=pick(new_state.goals, reset_state.goals),
+        key=jnp.where(done, reset_state.key, carry_key),
+        steps=jnp.where(done, reset_state.steps, new_state.steps),
+    )
+    final_obs = obs
+    out_obs = {k: pick(v, reset_obs[k]) for k, v in obs.items()}
+    info = dict(info)
+    info['final_observation'] = final_obs
+    return kept, out_obs, reward, terminated, truncated, info
+
+
+def init_batch(config: PlanningConfig, params: PlanningParams, key: jax.Array, batch: int):
+    """Vectorized reset for a batch of envs: returns batched state/obs/info."""
+    keys = jax.random.split(key, batch)
+    return jax.vmap(partial(reset, config, params))(keys)
+
+
+batched_step = jax.vmap(step, in_axes=(None, None, 0, 0))
+batched_step_autoreset = jax.vmap(step_autoreset, in_axes=(None, None, 0, 0))

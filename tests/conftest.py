@@ -1,0 +1,42 @@
+"""Test configuration: force a virtual 8-device CPU platform and float64.
+
+The reference physics engine (MuJoCo) computes in float64; our correctness
+tests compare trajectories against it, so tests run with x64 enabled on CPU.
+The 8 virtual devices let the sharding tests exercise a real
+``jax.sharding.Mesh`` without TPU hardware (SURVEY.md §4 carry-over #3).
+"""
+
+import os
+import sys
+
+# hard override: the session environment pins JAX_PLATFORMS to the tunneled
+# TPU platform (whose per-op dispatch latency makes eager tests crawl) and the
+# plugin overrides the env var, so the config update below is the only switch
+# that actually sticks; unit tests always run on (multi-device virtual) CPU
+os.environ['JAX_PLATFORMS'] = 'cpu'
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
+
+# repo root on sys.path so `import gymnasium_planar_robotics_tpu` works uninstalled
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_PATH = '/root/reference'
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_PATH)
+
+
+def import_reference():
+    """Import the reference implementation (test oracle only — never shipped)."""
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import gymnasium_planar_robotics  # noqa: F401
+
+    return gymnasium_planar_robotics
