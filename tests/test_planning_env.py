@@ -1,0 +1,258 @@
+"""Planning env correctness: physics oracle + cross-engine trajectory match.
+
+Two layers of evidence, mirroring SURVEY.md §4 carry-over:
+
+1. the reference's own hand-rolled semi-implicit-Euler oracle
+   (``/root/reference/tests/test_benchmark_planning_env.py:86-97``) re-run
+   against our step function;
+2. full fixed-seed trajectory comparison against the reference MuJoCo env at
+   ``std_noise=0`` — positions, velocities, rewards, terminations per step.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gymnasium_planar_robotics_tpu.models import planning
+
+from conftest import import_reference, reference_available
+
+
+def _mk_env(num_movers=1, num_cycles=40, learn_jerk=False, v_max=2.0, a_max=10.0, j_max=100.0, layout=None):
+    layout = np.ones((9, 9)) if layout is None else layout
+    return planning.make_planning_env(
+        layout_tiles=layout,
+        num_movers=num_movers,
+        std_noise=0.0,
+        num_cycles=num_cycles,
+        v_max=v_max,
+        a_max=a_max,
+        j_max=j_max,
+        learn_jerk=learn_jerk,
+        dtype=jnp.float64,
+    )
+
+
+def _state_from(config, params, starts, goals=None):
+    m = config.num_movers
+    starts = jnp.asarray(starts, jnp.float64)
+    goals = jnp.asarray(goals if goals is not None else starts + 0.5, jnp.float64)
+    zeros = jnp.zeros((m, 2), jnp.float64)
+    return planning.PlanningState(
+        pos=starts, vel=zeros, acc=zeros, act=zeros, goals=goals,
+        key=jax.random.PRNGKey(0), steps=jnp.asarray(0, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. reference physics oracle (no reference import needed)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    'num_movers, jerk, num_cycles, test_x, test_y',
+    [
+        (1, 100.0, 1, True, True),
+        (1, 100.0, 1, True, False),
+        (1, -100.0, 1, False, True),
+        (1, 100.0, 42, True, True),
+        (1, -100.0, 42, True, True),
+        (2, 100.0, 42, True, True),
+        (2, -100.0, 42, True, True),
+    ],
+)
+def test_jerk_oracle(num_movers, jerk, num_cycles, test_x, test_y):
+    v_max, a_max, j_max = 0.01, 0.2, 150.0
+    config, params = _mk_env(num_movers, num_cycles, learn_jerk=True, v_max=v_max, a_max=a_max, j_max=j_max)
+    dt = 0.001
+    starts = np.array([[1.2, 1.2]] if num_movers == 1 else [[0.96, 0.96], [1.2, 1.2]])
+    state = _state_from(config, params, starts)
+    step = jax.jit(lambda s, a: planning.step(config, params, s, a))
+
+    action = np.array([[jerk / 2 if test_x and test_y else (jerk if test_x else 0.0),
+                        jerk / 2 if test_x and test_y else (jerk if test_y else 0.0)]] * num_movers).reshape(-1)
+
+    # hand-rolled oracle (reference test_benchmark_planning_env.py:86-97)
+    p = starts.astype(np.float64).copy()
+    v = np.zeros((num_movers, 2))
+    a = np.zeros((num_movers, 2))
+
+    def ensure(cur, mx, der):
+        nxt = cur + dt * der
+        nrm = np.linalg.norm(nxt, axis=-1, keepdims=True)
+        clamp = nrm >= mx
+        out = np.where(clamp, mx * nxt / np.where(nrm > 0, nrm, 1), nxt)
+        dnew = np.where(clamp, (out - cur) / dt, der)
+        return out, dnew
+
+    for _ in range(100):
+        for _ in range(num_cycles):
+            next_a, _ = ensure(a, a_max, action.reshape(num_movers, 2))
+            v, a_tmp = ensure(v, v_max, next_a)
+            a = a_tmp.copy()
+            p = p + dt * v
+        state, obs, *_ = step(state, action)
+        np.testing.assert_allclose(np.asarray(state.pos), p, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(state.vel), v, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(state.acc), a, atol=1e-12)
+        assert (np.linalg.norm(np.asarray(state.vel), axis=-1) <= v_max + 1e-12).all()
+        assert (np.linalg.norm(np.asarray(state.acc), axis=-1) <= a_max + 1e-12).all()
+
+
+@pytest.mark.parametrize('acc, num_cycles', [(0.15, 1), (-0.15, 1), (0.15, 42), (-0.15, 42)])
+def test_acceleration_oracle(acc, num_cycles):
+    v_max = 0.01
+    config, params = _mk_env(1, num_cycles, learn_jerk=False, v_max=v_max, a_max=0.2)
+    dt = 0.001
+    starts = np.array([[1.2, 1.2]])
+    state = _state_from(config, params, starts)
+    step = jax.jit(lambda s, a: planning.step(config, params, s, a))
+    action = np.array([acc, acc])
+
+    p = starts.astype(np.float64).copy()
+    v = np.zeros((1, 2))
+    for _ in range(100):
+        for _ in range(num_cycles):
+            nxt = v + dt * action.reshape(1, 2)
+            nrm = np.linalg.norm(nxt, axis=-1, keepdims=True)
+            clamp = nrm >= v_max
+            v = np.where(clamp, v_max * nxt / np.where(nrm > 0, nrm, 1), nxt)
+            p = p + dt * v
+        state, *_ = step(state, action)
+        np.testing.assert_allclose(np.asarray(state.pos), p, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(state.vel), v, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# 2. cross-engine: reference MuJoCo env vs. ours, fixed trajectories
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
+@pytest.mark.parametrize('learn_jerk', [False, True])
+@pytest.mark.parametrize('num_movers', [1, 2])
+def test_trajectory_match_vs_reference(learn_jerk, num_movers):
+    import_reference()
+    from gymnasium_planar_robotics.envs.planning.benchmark_planning_env import BenchmarkPlanningEnv
+
+    layout = np.ones((5, 5))
+    v_max, a_max, j_max = 0.8, 5.0, 80.0
+    ref = BenchmarkPlanningEnv(
+        layout_tiles=layout,
+        num_movers=num_movers,
+        show_2D_plot=False,
+        std_noise=0.0,
+        render_mode=None,
+        num_cycles=40,
+        v_max=v_max,
+        a_max=a_max,
+        j_max=j_max,
+        learn_jerk=learn_jerk,
+    )
+    starts = np.array([[0.60, 0.60], [0.36, 0.36]])[:num_movers]
+    goals = np.array([[0.90, 0.84], [0.84, 0.90]])[:num_movers]
+    ref.goals = goals.copy()
+    ref.reload_model(mover_start_xy_pos=starts, mover_goal_xy_pos=goals)
+
+    config, params = _mk_env(num_movers, 40, learn_jerk, v_max, a_max, j_max, layout=layout)
+    state = _state_from(config, params, starts, goals)
+    step = jax.jit(lambda s, a: planning.step(config, params, s, a))
+
+    rng = np.random.default_rng(3)
+    limit = j_max if learn_jerk else a_max
+    for t in range(30):
+        action = rng.uniform(-limit, limit, size=num_movers * 2)
+        ref_obs, ref_rew, ref_term, ref_trunc, ref_info = ref.step(action)
+        state, obs, rew, term, trunc, info = step(state, action)
+
+        np.testing.assert_allclose(np.asarray(obs['achieved_goal']), ref_obs['achieved_goal'], atol=1e-9, err_msg=f't={t}')
+        np.testing.assert_allclose(np.asarray(obs['observation']), ref_obs['observation'], atol=1e-9, err_msg=f't={t}')
+        np.testing.assert_allclose(np.asarray(obs['desired_goal']), ref_obs['desired_goal'], atol=1e-12)
+        assert float(rew) == float(ref_rew), f't={t}: {float(rew)} vs {float(ref_rew)}'
+        assert bool(term) == bool(ref_term), f't={t}'
+        assert bool(info['is_success']) == bool(ref_info['is_success']), f't={t}'
+        assert bool(info['mover_collision']) == bool(ref_info['mover_collision']), f't={t}'
+        assert bool(info['wall_collision']) == bool(ref_info['wall_collision']), f't={t}'
+
+
+@pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
+def test_collision_termination_matches_reference():
+    """Two movers driven head-on: the latched early-stop must freeze state at
+    the same cycle as the reference's mid-action break."""
+    import_reference()
+    from gymnasium_planar_robotics.envs.planning.benchmark_planning_env import BenchmarkPlanningEnv
+
+    layout = np.ones((5, 5))
+    ref = BenchmarkPlanningEnv(
+        layout_tiles=layout, num_movers=2, show_2D_plot=False, std_noise=0.0,
+        render_mode=None, num_cycles=40, v_max=2.0, a_max=10.0, learn_jerk=False,
+    )
+    starts = np.array([[0.40, 0.60], [0.80, 0.60]])
+    goals = np.array([[1.00, 1.00], [0.20, 0.20]])
+    ref.goals = goals.copy()
+    ref.reload_model(mover_start_xy_pos=starts, mover_goal_xy_pos=goals)
+
+    config, params = _mk_env(2, 40, False, 2.0, 10.0, layout=layout)
+    state = _state_from(config, params, starts, goals)
+    step = jax.jit(lambda s, a: planning.step(config, params, s, a))
+
+    # drive the movers into each other at max acceleration
+    action = np.array([10.0, 0.0, -10.0, 0.0])
+    saw_collision = False
+    for t in range(20):
+        ref_obs, ref_rew, ref_term, _, ref_info = ref.step(action)
+        state, obs, rew, term, _, info = step(state, action)
+        np.testing.assert_allclose(np.asarray(obs['achieved_goal']), ref_obs['achieved_goal'], atol=1e-9, err_msg=f't={t}')
+        assert float(rew) == float(ref_rew), f't={t}'
+        assert bool(term) == bool(ref_term), f't={t}'
+        assert bool(info['mover_collision']) == bool(ref_info['mover_collision']), f't={t}'
+        if bool(ref_info['mover_collision']):
+            saw_collision = True
+            break
+    assert saw_collision, 'test setup never produced a collision'
+
+
+def test_bit_determinism_and_batching():
+    """Same seed => identical trajectory; vmapped batch row equals single env."""
+    config, params = _mk_env(2, 40, False)
+    key = jax.random.PRNGKey(42)
+    state1, obs1, _ = planning.reset(config, params, key)
+    state2, obs2, _ = planning.reset(config, params, key)
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(lambda a, b: (a == b).all(), obs1, obs2))
+
+    action = jnp.asarray([1.0, -2.0, 0.5, 3.0])
+    s1, o1, r1, *_ = planning.step(config, params, state1, action)
+    s2, o2, r2, *_ = planning.step(config, params, state2, action)
+    assert float(r1) == float(r2)
+    assert (np.asarray(s1.pos) == np.asarray(s2.pos)).all()
+
+    # batched: row b of a vmapped step == the single-env step with that key
+    batch = 4
+    keys = jax.random.split(jax.random.PRNGKey(7), batch)
+    bstate, bobs, _ = jax.vmap(lambda k: planning.reset(config, params, k))(keys)
+    actions = jnp.tile(action[None], (batch, 1))
+    bs, bo, br, bt, _, binfo = planning.batched_step(config, params, bstate, actions)
+    srow, orow, rrow, *_ = planning.step(
+        config, params,
+        jax.tree_util.tree_map(lambda x: x[2], bstate),
+        actions[2],
+    )
+    np.testing.assert_array_equal(np.asarray(bs.pos[2]), np.asarray(srow.pos))
+    assert float(br[2]) == float(rrow)
+
+
+def test_autoreset_timelimit():
+    config, params = _mk_env(1, 4, False)
+    key = jax.random.PRNGKey(0)
+    state, obs, _ = planning.reset(config, params, key)
+    step = jax.jit(lambda s, a: planning.step_autoreset(config, params, s, a))
+    action = jnp.zeros(2)
+    for t in range(1, 120):
+        state, obs, rew, term, trunc, info = step(state, action)
+        if t % config.max_episode_steps == 0 and not bool(term):
+            assert bool(trunc), f'expected truncation at step {t}'
+            assert int(state.steps) == 0, 'autoreset should restart the episode'
+        if bool(term) or bool(trunc):
+            assert int(state.steps) == 0
