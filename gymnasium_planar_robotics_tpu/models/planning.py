@@ -189,12 +189,13 @@ def _noisy_collision_checks(
     k_wall, k_mover = jax.random.split(key)
     std0 = params.std_noise[0]
     dtype = pos.dtype
+    with_quat = config.collision_shape == 'box'
 
-    xy_w, quat_w = common.noisy_xy_quat(k_wall, pos, std0, dtype)
+    xy_w, quat_w = common.noisy_xy_quat(k_wall, pos, std0, dtype, with_quat)
     c_wall = params.c_size + params.c_offset_wall + jnp.where(wall_safety_offset, params.c_offset, 0.0)
     wall = common.wall_collision_any(params.grid, xy_w, quat_w, c_wall, config.collision_shape)
 
-    xy_m, quat_m = common.noisy_xy_quat(k_mover, pos, std0, dtype)
+    xy_m, quat_m = common.noisy_xy_quat(k_mover, pos, std0, dtype, with_quat)
     c_mover = params.c_size + jnp.where(mover_safety_offset, params.c_offset, 0.0)
     mover = common.mover_collision_any(xy_m, quat_m, c_mover, config.collision_shape)
     return wall, mover
@@ -315,7 +316,7 @@ def step(
         pos, vel, acc, act, wall, mover, done = carry
         k_vel, k_checks = jax.random.split(k)
         # noisy velocity reading for the clamp chain (benchmark_planning_env.py:430)
-        vel_meas = vel + jax.random.normal(k_vel, (m, 6), dtype)[:, :2] * params.std_noise[1]
+        vel_meas = vel + jax.random.normal(k_vel, (m, 2), dtype) * params.std_noise[1]
         if config.learn_jerk:
             res = dynamics.jerk_cycle(pos, vel, act, vel_meas, action, params.v_max, params.a_max, params.dt)
         else:
@@ -364,8 +365,8 @@ def _get_obs(
     m = config.num_movers
     dtype = state.pos.dtype
     k_pos, k_vel = jax.random.split(key)
-    pos_noisy = state.pos + jax.random.normal(k_pos, (m, 7), dtype)[:, :2] * params.std_noise[0]
-    vel_noisy = state.vel + jax.random.normal(k_vel, (m, 6), dtype)[:, :2] * params.std_noise[1]
+    pos_noisy = state.pos + jax.random.normal(k_pos, (m, 2), dtype) * params.std_noise[0]
+    vel_noisy = state.vel + jax.random.normal(k_vel, (m, 2), dtype) * params.std_noise[1]
     if config.learn_jerk:
         observation = jnp.concatenate([vel_noisy, state.acc], axis=0).reshape(-1)
     else:

@@ -1,0 +1,188 @@
+"""Data-parallel PPO learner fed by the batched env engine.
+
+The reference trains via SB3's Python loop over a single env
+(``/root/reference/docs/train_agents.rst``); the TPU-native equivalent keeps
+the entire (rollout -> GAE -> PPO update) pipeline in one jitted program:
+envs stepped as a sharded ``[B, ...]`` batch, trajectories stacked on device,
+the actor-critic MLP running batched matmuls on the MXU, and gradients
+reduced across the ``data`` mesh axis by XLA-inserted ICI all-reduces (the
+parameters are replicated, the batch is sharded — classic DP; TP/PP are
+deliberately not built: observation widths are tens of floats, SURVEY.md §2.3
+D3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    obs_dim: int
+    action_dim: int
+    hidden: tuple[int, ...] = (256, 256)
+    action_scale: float = 10.0  # actions squashed to [-scale, scale]
+    rollout_steps: int = 16
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    value_coef: float = 0.5
+    entropy_coef: float = 0.0
+    learning_rate: float = 3e-4
+    update_epochs: int = 4
+
+
+def init_params(key: jax.Array, cfg: PPOConfig, dtype=jnp.float32) -> dict:
+    """Actor-critic MLP parameters (shared trunk, gaussian policy head)."""
+    sizes = (cfg.obs_dim, *cfg.hidden)
+    keys = jax.random.split(key, len(sizes) + 2)
+    params = {'trunk': []}
+    for i in range(len(sizes) - 1):
+        w = jax.random.normal(keys[i], (sizes[i], sizes[i + 1]), dtype) * jnp.sqrt(2.0 / sizes[i])
+        params['trunk'].append({'w': w, 'b': jnp.zeros(sizes[i + 1], dtype)})
+    h = sizes[-1]
+    params['mu'] = {
+        'w': jax.random.normal(keys[-2], (h, cfg.action_dim), dtype) * 0.01,
+        'b': jnp.zeros(cfg.action_dim, dtype),
+    }
+    params['value'] = {
+        'w': jax.random.normal(keys[-1], (h, 1), dtype) * 1.0,
+        'b': jnp.zeros(1, dtype),
+    }
+    params['log_std'] = jnp.zeros(cfg.action_dim, dtype)
+    return params
+
+
+def apply(params: dict, obs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(mu, log_std, value) — batched over leading dims; matmuls land on the MXU."""
+    x = obs
+    for layer in params['trunk']:
+        x = jnp.tanh(jnp.dot(x, layer['w'], preferred_element_type=jnp.float32) + layer['b'])
+    mu = jnp.dot(x, params['mu']['w'], preferred_element_type=jnp.float32) + params['mu']['b']
+    value = (jnp.dot(x, params['value']['w'], preferred_element_type=jnp.float32) + params['value']['b'])[..., 0]
+    return mu, params['log_std'], value
+
+
+def sample_action(params: dict, obs: jnp.ndarray, key: jax.Array, scale: float):
+    mu, log_std, value = apply(params, obs)
+    noise = jax.random.normal(key, mu.shape, mu.dtype)
+    raw = mu + jnp.exp(log_std) * noise
+    logp = _gaussian_logp(raw, mu, log_std)
+    action = jnp.clip(raw, -scale, scale)
+    return action, raw, logp, value
+
+
+def _gaussian_logp(x, mu, log_std):
+    return (-0.5 * ((x - mu) / jnp.exp(log_std)) ** 2 - log_std - 0.5 * jnp.log(2 * jnp.pi)).sum(-1)
+
+
+class Transition(NamedTuple):
+    obs: jnp.ndarray  # [B, obs_dim]
+    raw_action: jnp.ndarray  # [B, A] pre-clip sample (the policy's own variable)
+    logp: jnp.ndarray  # [B]
+    value: jnp.ndarray  # [B]
+    reward: jnp.ndarray  # [B]
+    done: jnp.ndarray  # [B]
+
+
+def compute_gae(traj: Transition, last_value: jnp.ndarray, gamma: float, lam: float):
+    """Generalized advantage estimation over a [T, B] trajectory via reverse scan."""
+
+    def body(carry, tr):
+        gae, next_value = carry
+        nonterminal = 1.0 - tr.done.astype(tr.value.dtype)
+        delta = tr.reward + gamma * next_value * nonterminal - tr.value
+        gae = delta + gamma * lam * nonterminal * gae
+        return (gae, tr.value), gae
+
+    (_, _), advantages = jax.lax.scan(
+        body, (jnp.zeros_like(last_value), last_value), traj, reverse=True
+    )
+    returns = advantages + traj.value
+    return advantages, returns
+
+
+def ppo_loss(params: dict, cfg: PPOConfig, batch) -> jnp.ndarray:
+    obs, raw_action, old_logp, advantages, returns = batch
+    mu, log_std, value = apply(params, obs)
+    logp = _gaussian_logp(raw_action, mu, log_std)
+    ratio = jnp.exp(logp - old_logp)
+    adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+    pg = -jnp.minimum(ratio * adv, jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv).mean()
+    v_loss = ((value - returns) ** 2).mean()
+    entropy = (log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e)).sum()
+    return pg + cfg.value_coef * v_loss - cfg.entropy_coef * entropy
+
+
+def make_train_step(
+    env_config,
+    env_params,
+    cfg: PPOConfig,
+    step_autoreset_fn: Callable,
+    obs_to_vec: Callable | None = None,
+):
+    """Build ``train_step(runner_state) -> (runner_state, metrics)``: one
+    rollout of ``cfg.rollout_steps`` sharded env steps + PPO updates, all in
+    one traceable function (jit it, optionally with shardings, at the call
+    site)."""
+    optimizer = optax.adam(cfg.learning_rate)
+    batched_env_step = jax.vmap(step_autoreset_fn, in_axes=(None, None, 0, 0))
+
+    if obs_to_vec is None:
+        def obs_to_vec(obs):
+            return jnp.concatenate(
+                [obs['observation'], obs['achieved_goal'], obs['desired_goal']], axis=-1
+            ).astype(jnp.float32)
+
+    def rollout_body(carry, _):
+        env_state, obs_vec, params, key = carry
+        key, k_act = jax.random.split(key)
+        action, raw, logp, value = sample_action(params, obs_vec, k_act, cfg.action_scale)
+        env_state, obs, reward, terminated, truncated, info = batched_env_step(
+            env_config, env_params, env_state, action
+        )
+        next_obs_vec = obs_to_vec(obs)
+        tr = Transition(
+            obs=obs_vec,
+            raw_action=raw,
+            logp=logp,
+            value=value,
+            reward=reward.astype(jnp.float32),
+            done=(terminated | truncated),
+        )
+        return (env_state, next_obs_vec, params, key), tr
+
+    def train_step(runner):
+        env_state, obs_vec, params, opt_state, key = runner
+        (env_state, obs_vec, params, key), traj = jax.lax.scan(
+            rollout_body, (env_state, obs_vec, params, key), None, length=cfg.rollout_steps
+        )
+        _, _, last_value = apply(params, obs_vec)
+        advantages, returns = compute_gae(traj, last_value, cfg.gamma, cfg.gae_lambda)
+
+        flat = jax.tree_util.tree_map(lambda x: x.reshape((-1,) + x.shape[2:]), (
+            traj.obs, traj.raw_action, traj.logp, advantages, returns))
+
+        def epoch(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(ppo_loss)(params, cfg, flat)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            epoch, (params, opt_state), None, length=cfg.update_epochs
+        )
+        metrics = {
+            'loss': losses[-1],
+            'reward_mean': traj.reward.mean(),
+            'done_rate': traj.done.astype(jnp.float32).mean(),
+        }
+        return (env_state, obs_vec, params, opt_state, key), metrics
+
+    return train_step, optimizer
