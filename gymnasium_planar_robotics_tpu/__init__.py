@@ -20,3 +20,26 @@ __version__ = '0.1.0'
 from gymnasium_planar_robotics_tpu.envs.registration import register_gymnasium_envs
 
 register_gymnasium_envs()
+
+
+def __getattr__(name):
+    """Lazy public API (mirrors the reference's re-exports,
+    ``/root/reference/gymnasium_planar_robotics/__init__.py:5-18``, mapped to
+    the TPU-native equivalents) without paying adapter import costs up front."""
+    surface = {
+        'PlanningGymEnv': ('gymnasium_planar_robotics_tpu.envs.gym_env', 'PlanningGymEnv'),
+        'PushingGymEnv': ('gymnasium_planar_robotics_tpu.envs.gym_env', 'PushingGymEnv'),
+        'PlanningVectorEnv': ('gymnasium_planar_robotics_tpu.envs.vector_env', 'PlanningVectorEnv'),
+        'PushingVectorEnv': ('gymnasium_planar_robotics_tpu.envs.vector_env', 'PushingVectorEnv'),
+        'PlanningParallelEnv': ('gymnasium_planar_robotics_tpu.envs.pettingzoo_env', 'PlanningParallelEnv'),
+        'Planar2DViewer': ('gymnasium_planar_robotics_tpu.utils.rendering', 'Planar2DViewer'),
+        'ImpedanceGains': ('gymnasium_planar_robotics_tpu.utils.impedance', 'ImpedanceGains'),
+        'impedance_wrench': ('gymnasium_planar_robotics_tpu.utils.impedance', 'impedance_wrench'),
+        'make_gains': ('gymnasium_planar_robotics_tpu.utils.impedance', 'make_gains'),
+    }
+    if name in surface:
+        import importlib
+
+        module, attr = surface[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f'module {__name__!r} has no attribute {name!r}')

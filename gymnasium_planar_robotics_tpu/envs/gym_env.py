@@ -1,0 +1,252 @@
+"""Gymnasium single-env adapters (B=1 view over the batched core).
+
+API-compatible stand-ins for the reference's ``BenchmarkPlanningEnv`` /
+``BenchmarkPushingEnv`` (``/root/reference/gymnasium_planar_robotics/envs/
+planning/benchmark_planning_env.py``, ``.../manipulation/
+benchmark_pushing_env.py``): same observation/action spaces, same reset
+``options``, same HER-compatible batched ``compute_reward`` /
+``compute_terminated`` / ``compute_truncated`` signatures (array-of-info-dicts
+included), same info keys.  The adapter is a thin NumPy shell: all physics
+runs as one jitted call into the pure-functional core.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+import gymnasium as gym
+import jax
+import jax.numpy as jnp
+
+from gymnasium_planar_robotics_tpu.models import planning as planning_model
+from gymnasium_planar_robotics_tpu.models import pushing as pushing_model
+
+
+def _default_dtype(dtype):
+    """float64 when x64 is enabled (exact reference parity), else float32."""
+    if dtype is not None:
+        return dtype
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def _info_to_collision_arrays(info) -> tuple[int, np.ndarray, np.ndarray]:
+    """Reference ``_preprocess_info_dict`` (benchmark_planning_env.py:666-688):
+    accept one info dict or an ndarray of per-transition info dicts (SB3 HER)."""
+    if isinstance(info, np.ndarray):
+        batch = info.shape[0]
+        mover = np.array([bool(i['mover_collision']) for i in info])
+        wall = np.array([bool(i['wall_collision']) for i in info])
+        return batch, mover, wall
+    if info is None:
+        return 1, np.zeros(1, bool), np.zeros(1, bool)
+    return 1, np.array([bool(info['mover_collision'])]), np.array([bool(info['wall_collision'])])
+
+
+class _JaxGymEnv(gym.Env):
+    """Shared shell: owns the (config, params, state) triple and jitted fns."""
+
+    metadata = {'render_modes': ['human', 'rgb_array'], 'render_fps': 25}
+
+    def __init__(self, model, config, params, render_mode: str | None = None):
+        self._model = model
+        self.config = config
+        self.params = params
+        self.render_mode = render_mode
+        self._state = None
+        self._viewer = None
+        self._step_jit = jax.jit(lambda s, a: model.step(config, params, s, a))
+
+    # -- Gymnasium API ------------------------------------------------------
+
+    def reset(self, seed: int | None = None, options: dict[str, Any] | None = None):
+        super().reset(seed=seed)
+        if seed is not None:
+            self._key = jax.random.PRNGKey(seed)
+        elif getattr(self, '_key', None) is None:
+            self._key = jax.random.PRNGKey(int(self.np_random.integers(2**31)))
+        self._key, sub = jax.random.split(self._key)
+        self._state, obs, info = self._reset_core(sub, options or {})
+        if self.render_mode is not None:
+            self.render()
+        return self._np_obs(obs), self._np_info(info)
+
+    def step(self, action):
+        assert self._state is not None, 'call reset() first'
+        action = np.asarray(action, dtype=np.float64)
+        assert action.shape == self.action_space.shape, 'action dim != action_space dim'
+        self._state, obs, reward, terminated, truncated, info = self._step_jit(
+            self._state, jnp.asarray(action)
+        )
+        if self.render_mode is not None:
+            self.render()
+        return (
+            self._np_obs(obs),
+            float(reward),
+            bool(terminated),
+            bool(truncated),
+            self._np_info(info),
+        )
+
+    def render(self):
+        if self.render_mode is None:
+            return None
+        from gymnasium_planar_robotics_tpu.utils import rendering
+
+        if self._viewer is None:
+            self._viewer = rendering.Planar2DViewer(self.params, interactive=self.render_mode == 'human')
+        frame = self._viewer.render(self._render_state())
+        return frame if self.render_mode == 'rgb_array' else None
+
+    def close(self):
+        if self._viewer is not None:
+            self._viewer.close()
+            self._viewer = None
+
+    # -- helpers ------------------------------------------------------------
+
+    @staticmethod
+    def _np_obs(obs) -> dict[str, np.ndarray]:
+        return {k: np.asarray(v, dtype=np.float64) for k, v in obs.items()}
+
+    @staticmethod
+    def _np_info(info) -> dict[str, Any]:
+        out = {}
+        for k, v in info.items():
+            a = np.asarray(v)
+            out[k] = a.item() if a.shape == () else a
+        return out
+
+
+class PlanningGymEnv(_JaxGymEnv):
+    """``BenchmarkPlanningEnv-v0``: collision-free multi-mover goal reaching."""
+
+    def __init__(
+        self,
+        layout_tiles=None,
+        num_movers: int = 1,
+        render_mode: str | None = None,
+        dtype=None,
+        **kwargs,
+    ):
+        layout_tiles = np.ones((3, 3)) if layout_tiles is None else np.asarray(layout_tiles)
+        dtype = _default_dtype(dtype)
+        config, params = planning_model.make_planning_env(
+            layout_tiles=layout_tiles, num_movers=num_movers, dtype=dtype, **kwargs
+        )
+        super().__init__(planning_model, config, params, render_mode)
+
+        m = config.num_movers
+        hi = np.asarray(params.grid.max_xy)
+        low_goals = np.zeros(m * 2)
+        high_goals = np.tile(hi, m)
+        jerk_dims = (1 + int(config.learn_jerk)) * 2
+        self.observation_space = gym.spaces.Dict(
+            {
+                'observation': gym.spaces.Box(-np.inf, np.inf, shape=(m * jerk_dims,), dtype=np.float64),
+                'achieved_goal': gym.spaces.Box(low=low_goals, high=high_goals, dtype=np.float64),
+                'desired_goal': gym.spaces.Box(low=low_goals, high=high_goals, dtype=np.float64),
+            }
+        )
+        limit = float(params.j_max if config.learn_jerk else params.a_max)
+        self.action_space = gym.spaces.Box(-limit, limit, shape=(m * 2,), dtype=np.float64)
+
+    def _reset_core(self, key, options):
+        return planning_model.reset(self.config, self.params, key)
+
+    def _render_state(self):
+        return {
+            'mover_xy': np.asarray(self._state.pos),
+            'mover_vel': np.asarray(self._state.vel),
+            'goals': np.asarray(self._state.goals),
+        }
+
+    # -- HER API (batched, NumPy) ------------------------------------------
+
+    def compute_reward(self, achieved_goal, desired_goal, info=None):
+        batch, mover, wall = _info_to_collision_arrays(info)
+        a = np.asarray(achieved_goal).reshape(batch, -1)
+        d = np.asarray(desired_goal).reshape(batch, -1)
+        r = np.asarray(
+            planning_model.compute_reward(
+                self.config, self.params, jnp.asarray(a), jnp.asarray(d), jnp.asarray(mover), jnp.asarray(wall)
+            )
+        )
+        return r if batch > 1 else float(r[0])
+
+    def compute_terminated(self, achieved_goal, desired_goal, info=None):
+        r = self.compute_reward(achieved_goal, desired_goal, info)
+        out = np.abs(r) == planning_model.REWARD_SUCCESS
+        return out if isinstance(r, np.ndarray) else bool(out)
+
+    def compute_truncated(self, achieved_goal, desired_goal, info=None):
+        batch = achieved_goal.shape[0] if np.asarray(achieved_goal).ndim > 1 else 1
+        return np.zeros(batch, bool) if batch > 1 else False
+
+
+class PushingGymEnv(_JaxGymEnv):
+    """``BenchmarkPushingEnv-v0``: push the box object to its goal."""
+
+    def __init__(self, render_mode: str | None = None, dtype=None, **kwargs):
+        dtype = _default_dtype(dtype)
+        config, params = pushing_model.make_pushing_env(dtype=dtype, **kwargs)
+        super().__init__(pushing_model, config, params, render_mode)
+
+        hi = np.asarray(params.grid.max_xy)
+        jerk_dims = (2 + int(config.learn_jerk)) * 2
+        self.observation_space = gym.spaces.Dict(
+            {
+                'observation': gym.spaces.Box(-np.inf, np.inf, shape=(jerk_dims,), dtype=np.float64),
+                'achieved_goal': gym.spaces.Box(low=np.zeros(2), high=hi, dtype=np.float64),
+                'desired_goal': gym.spaces.Box(low=np.zeros(2), high=hi, dtype=np.float64),
+            }
+        )
+        limit = float(params.j_max if config.learn_jerk else params.a_max)
+        self.action_space = gym.spaces.Box(-limit, limit, shape=(2,), dtype=np.float64)
+
+    def _reset_core(self, key, options):
+        return pushing_model.reset(
+            self.config,
+            self.params,
+            key,
+            mover_start_xy_pos=options.get('mover_start_xy_pos'),
+            object_goal_xy_pos=options.get('object_goal_xy_pos'),
+        )
+
+    def _render_state(self):
+        return {
+            'mover_xy': np.asarray(self._state.pos)[None],
+            'mover_vel': np.asarray(self._state.vel)[None],
+            'goals': np.asarray(self._state.goal)[None],
+            'object_xy': np.asarray(self._state.obj_pos),
+            'object_half': np.asarray(self.params.object_half),
+        }
+
+    def compute_reward(self, achieved_goal, desired_goal, info=None):
+        batch, _, wall = _info_to_collision_arrays(info)
+        a = np.asarray(achieved_goal).reshape(batch, -1)
+        d = np.asarray(desired_goal).reshape(batch, -1)
+        r = np.asarray(
+            pushing_model.compute_reward(self.params, jnp.asarray(a), jnp.asarray(d), jnp.asarray(wall))
+        )
+        return r if batch > 1 else float(r[0])
+
+    def compute_terminated(self, achieved_goal, desired_goal, info=None):
+        r = self.compute_reward(achieved_goal, desired_goal, info)
+        out = r == pushing_model.REWARD_WALL_COLLISION
+        return out if isinstance(r, np.ndarray) else bool(out)
+
+    def compute_truncated(self, achieved_goal, desired_goal, info=None):
+        batch = achieved_goal.shape[0] if np.asarray(achieved_goal).ndim > 1 else 1
+        return np.zeros(batch, bool) if batch > 1 else False
+
+
+# registration entry points (envs/registration.py)
+
+def make_planning_env(**kwargs) -> PlanningGymEnv:
+    return PlanningGymEnv(**kwargs)
+
+
+def make_pushing_env(**kwargs) -> PushingGymEnv:
+    return PushingGymEnv(**kwargs)

@@ -1,0 +1,118 @@
+"""Gymnasium VectorEnv adapter over the batched core.
+
+The reference has no vectorization at all (SURVEY.md §2.3 D1 — no
+``gym.vector`` usage anywhere); this adapter is what replaces it: B envs
+stepped as ONE jitted device call with in-place autoreset, optionally sharded
+over a device mesh.  Matches Gymnasium's ``VectorEnv`` API with
+``AutoresetMode.SAME_STEP`` semantics (the observation returned for a
+finished episode is the first of the new one; the final observation rides in
+``info['final_observation']``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+import gymnasium as gym
+import jax
+import jax.numpy as jnp
+
+from gymnasium_planar_robotics_tpu.models import planning as planning_model
+from gymnasium_planar_robotics_tpu.models import pushing as pushing_model
+
+
+class _JaxVectorEnv(gym.vector.VectorEnv):
+    metadata = {'autoreset_mode': 'SameStep'}
+
+    def __init__(self, model, config, params, num_envs: int, mesh=None):
+        self._model = model
+        self.config = config
+        self.params = params
+        self.num_envs = num_envs
+        self._mesh = mesh
+        self._state = None
+
+        step = jax.vmap(model.step_autoreset, in_axes=(None, None, 0, 0))
+        if mesh is None:
+            self._step_jit = jax.jit(lambda s, a: step(config, params, s, a))
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P('data'))
+            self._step_jit = jax.jit(lambda s, a: step(config, params, s, a), in_shardings=(sh, sh))
+        self._reset_jit = jax.jit(lambda k: jax.vmap(lambda kk: model.reset(config, params, kk))(k))
+
+    def reset(self, seed: int | None = None, options: dict[str, Any] | None = None):
+        key = jax.random.PRNGKey(0 if seed is None else seed)
+        keys = jax.random.split(key, self.num_envs)
+        self._state, obs, info = self._reset_jit(keys)
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._state = jax.device_put(self._state, NamedSharding(self._mesh, P('data')))
+        return self._np(obs), self._np(info)
+
+    def step(self, actions):
+        self._state, obs, reward, terminated, truncated, info = self._step_jit(
+            self._state, jnp.asarray(np.asarray(actions))
+        )
+        return (
+            self._np(obs),
+            np.asarray(reward, dtype=np.float64),
+            np.asarray(terminated),
+            np.asarray(truncated),
+            self._np(info),
+        )
+
+    @staticmethod
+    def _np(tree):
+        return jax.tree_util.tree_map(np.asarray, tree)
+
+    # direct on-device access for learners that skip the NumPy boundary
+    @property
+    def device_state(self):
+        return self._state
+
+
+class PlanningVectorEnv(_JaxVectorEnv):
+    def __init__(self, num_envs: int, layout_tiles=None, num_movers: int = 1, mesh=None, dtype=jnp.float32, **kwargs):
+        layout_tiles = np.ones((3, 3)) if layout_tiles is None else np.asarray(layout_tiles)
+        config, params = planning_model.make_planning_env(
+            layout_tiles=layout_tiles, num_movers=num_movers, dtype=dtype, **kwargs
+        )
+        super().__init__(planning_model, config, params, num_envs, mesh)
+        m = config.num_movers
+        limit = float(params.j_max if config.learn_jerk else params.a_max)
+        hi = np.asarray(params.grid.max_xy)
+        jerk_dims = (1 + int(config.learn_jerk)) * 2
+        self.single_observation_space = gym.spaces.Dict(
+            {
+                'observation': gym.spaces.Box(-np.inf, np.inf, shape=(m * jerk_dims,), dtype=np.float64),
+                'achieved_goal': gym.spaces.Box(np.zeros(m * 2), np.tile(hi, m), dtype=np.float64),
+                'desired_goal': gym.spaces.Box(np.zeros(m * 2), np.tile(hi, m), dtype=np.float64),
+            }
+        )
+        self.single_action_space = gym.spaces.Box(-limit, limit, shape=(m * 2,), dtype=np.float64)
+        self.observation_space = gym.vector.utils.batch_space(self.single_observation_space, num_envs)
+        self.action_space = gym.vector.utils.batch_space(self.single_action_space, num_envs)
+
+
+class PushingVectorEnv(_JaxVectorEnv):
+    def __init__(self, num_envs: int, mesh=None, dtype=jnp.float32, **kwargs):
+        config, params = pushing_model.make_pushing_env(dtype=dtype, **kwargs)
+        super().__init__(pushing_model, config, params, num_envs, mesh)
+        limit = float(params.j_max if config.learn_jerk else params.a_max)
+        hi = np.asarray(params.grid.max_xy)
+        jerk_dims = (2 + int(config.learn_jerk)) * 2
+        self.single_observation_space = gym.spaces.Dict(
+            {
+                'observation': gym.spaces.Box(-np.inf, np.inf, shape=(jerk_dims,), dtype=np.float64),
+                'achieved_goal': gym.spaces.Box(np.zeros(2), hi, dtype=np.float64),
+                'desired_goal': gym.spaces.Box(np.zeros(2), hi, dtype=np.float64),
+            }
+        )
+        self.single_action_space = gym.spaces.Box(-limit, limit, shape=(2,), dtype=np.float64)
+        self.observation_space = gym.vector.utils.batch_space(self.single_observation_space, num_envs)
+        self.action_space = gym.vector.utils.batch_space(self.single_action_space, num_envs)

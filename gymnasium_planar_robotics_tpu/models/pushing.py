@@ -1,0 +1,402 @@
+"""BenchmarkPushingEnv, TPU-native: single mover pushes a box to a goal.
+
+Re-design of ``/root/reference/gymnasium_planar_robotics/envs/manipulation/
+benchmark_pushing_env.py``: fixed 3x3 tile table, one mover, one passive box
+object (0.07 x 0.07 x 0.04 m, 10 g, free joint damping 0.01 —
+benchmark_pushing_env.py:172-178), goal-conditioned on the object's (x, y).
+
+Differences from the reference's MuJoCo path, by design (SURVEY.md §2.2
+P3/P4):
+
+- mover z and all rotations are held analytically (the reference's task-space
+  impedance controller with joint_mask [0,0,1,1,1,1] exists precisely to pin
+  them — benchmark_pushing_env.py:260-268; its K=1 stiffness lets z wander by
+  millimeters during contact, which nothing observes: observations expose only
+  x/y quantities);
+- mover-object contact is the quasi-2D penalty model of ``ops/contact.py``,
+  tolerance-calibrated against reference trajectories (object yaw is not
+  modeled; measured |yaw| < 0.003 rad under off-center pushes);
+- the contact reaction force does act back on the mover (as in MuJoCo).
+
+Reward/termination/info/reset semantics mirror the reference exactly
+(benchmark_pushing_env.py:373-417, 457-527, 578-608).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gymnasium_planar_robotics_tpu.models import common
+from gymnasium_planar_robotics_tpu.ops import contact, dynamics, walls
+from gymnasium_planar_robotics_tpu.ops.grid import make_tile_grid
+
+REWARD_WALL_COLLISION = -50.0  # benchmark_pushing_env.py:218
+
+
+@dataclasses.dataclass(frozen=True)
+class PushingConfig:
+    num_cycles: int = 40
+    learn_jerk: bool = False
+    collision_shape: str = 'circle'
+    max_reset_trials: int = 100
+    max_episode_steps: int = 50
+    num_movers: int = 1  # fixed in the reference (benchmark_pushing_env.py:196)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PushingParams:
+    grid: Any
+    mover_mass: jax.Array  # scalar
+    mover_half: jax.Array  # [2] x/y half-extents of the mover box
+    c_size: jax.Array  # [1] or [1, 2]
+    c_offset: jax.Array
+    c_offset_wall: jax.Array
+    std_noise: jax.Array  # [3]
+    object_half: jax.Array  # [2] (0.035, 0.035)
+    object_mass: jax.Array  # 0.01
+    object_damping: jax.Array  # 0.01 (free joint damping)
+    object_noise: jax.Array  # 1e-5 achieved-goal observation noise
+    v_max: jax.Array
+    a_max: jax.Array
+    j_max: jax.Array
+    threshold_pos: jax.Array
+    initial_zpos: jax.Array
+    dt: jax.Array
+    min_xy: jax.Array  # [2] mover sampling bounds
+    max_xy: jax.Array
+    obj_min_xy: jax.Array  # [2] object/goal sampling bounds (inner box)
+    obj_max_xy: jax.Array
+    min_mo_dist: jax.Array  # min mover-object start distance
+    # contact model (tolerance-calibrated against the reference engine)
+    contact_k: jax.Array  # normal stiffness [N/m]
+    contact_b: jax.Array  # normal damping [N s/m]
+    contact_bt: jax.Array  # tangential viscosity [N s/m]
+    contact_mu: jax.Array  # mover-object friction
+    floor_mu: jax.Array  # object-floor friction
+    gravity: jax.Array  # 9.81
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PushingState:
+    pos: jax.Array  # [2] mover position
+    vel: jax.Array  # [2]
+    acc: jax.Array  # [2] last qacc (incl. contact reaction)
+    act: jax.Array  # [2] jerk-integrator activation
+    obj_pos: jax.Array  # [2]
+    obj_vel: jax.Array  # [2]
+    goal: jax.Array  # [2] object goal
+    key: jax.Array
+    steps: jax.Array
+
+
+def make_pushing_env(
+    mover_params: dict[str, Any] | None = None,
+    initial_mover_zpos: float = 0.003,
+    std_noise=1e-5,
+    num_cycles: int = 40,
+    collision_params: dict[str, Any] | None = None,
+    v_max: float = 2.0,
+    a_max: float = 10.0,
+    j_max: float = 100.0,
+    learn_jerk: bool = False,
+    threshold_pos: float = 0.05,
+    dtype=jnp.float32,
+    max_reset_trials: int = 100,
+) -> tuple[PushingConfig, PushingParams]:
+    """Constructor mirroring the reference's kwargs (fixed 3x3 layout, 1 mover)."""
+    mover_params = mover_params or {}
+    collision_params = collision_params or {}
+
+    layout = np.ones((3, 3))
+    tile_size = np.array([0.24 / 2, 0.24 / 2, 0.0352 / 2])
+    grid = make_tile_grid(layout, tile_size, dtype=dtype)
+
+    mover_mass = float(np.asarray(mover_params.get('mass', 1.24)).reshape(-1)[0])
+    mover_size = np.asarray(mover_params.get('size', np.array([0.155 / 2, 0.155 / 2, 0.012 / 2]))).reshape(-1)
+
+    c_shape = collision_params.get('shape', 'circle')
+    c_size_in = collision_params.get('size', 0.11)
+    c_offset = float(collision_params.get('offset', 0.0))
+    c_offset_wall = float(collision_params.get('offset_wall', 0.0))
+    c_size = common.expand_c_size(c_size_in, 1, c_shape, dtype)
+
+    std = np.asarray(std_noise, dtype=np.float64).reshape(-1)
+    std = np.broadcast_to(std, (3,)) if std.shape == (1,) else std
+
+    object_half = 0.07 / 2
+    if c_shape == 'circle':
+        margin = np.asarray(c_size_in).reshape(-1)[0] + c_offset + c_offset_wall
+        margin = np.array([margin, margin])
+        min_mo = max(float(np.linalg.norm(object_half + mover_size[:2])), float(np.asarray(c_size_in).reshape(-1)[0] + c_offset))
+    else:
+        margin = np.asarray(c_size_in).reshape(-1, 2)[0] + c_offset + c_offset_wall
+        min_mo = max(
+            float(np.linalg.norm(object_half + mover_size[:2])),
+            float(np.linalg.norm(np.asarray(c_size_in).reshape(-1, 2)[0] + c_offset)),
+        )
+    hi = np.array([0.72, 0.72])
+
+    config = PushingConfig(
+        num_cycles=num_cycles,
+        learn_jerk=learn_jerk,
+        collision_shape=c_shape,
+        max_reset_trials=max_reset_trials,
+    )
+    obj_mass = 0.01
+    # calibrated against reference trajectories (grid sweep over k in
+    # [15, 130]): minimizes max object-position error across head-on,
+    # off-center, push-release and slow-push scenarios (~5 mm over 10 steps)
+    k_n = 30.0
+    params = PushingParams(
+        grid=grid,
+        mover_mass=jnp.asarray(mover_mass, dtype),
+        mover_half=jnp.asarray(mover_size[:2], dtype),
+        c_size=c_size,
+        c_offset=jnp.asarray(c_offset, dtype),
+        c_offset_wall=jnp.asarray(c_offset_wall, dtype),
+        std_noise=jnp.asarray(std, dtype),
+        object_half=jnp.asarray([object_half, object_half], dtype),
+        object_mass=jnp.asarray(obj_mass, dtype),
+        object_damping=jnp.asarray(0.01, dtype),
+        object_noise=jnp.asarray(1e-5, dtype),
+        v_max=jnp.asarray(v_max, dtype),
+        a_max=jnp.asarray(a_max, dtype),
+        j_max=jnp.asarray(j_max, dtype),
+        threshold_pos=jnp.asarray(threshold_pos, dtype),
+        initial_zpos=jnp.asarray(initial_mover_zpos, dtype),
+        dt=jnp.asarray(0.001, dtype),
+        min_xy=jnp.asarray(margin, dtype),
+        max_xy=jnp.asarray(hi - margin, dtype),
+        obj_min_xy=jnp.asarray(2 * margin, dtype),
+        obj_max_xy=jnp.asarray(hi - 2 * margin, dtype),
+        min_mo_dist=jnp.asarray(min_mo, dtype),
+        contact_k=jnp.asarray(k_n, dtype),
+        contact_b=jnp.asarray(2.0 * np.sqrt(k_n * obj_mass), dtype),
+        contact_bt=jnp.asarray(2.0, dtype),
+        contact_mu=jnp.asarray(1.0, dtype),
+        floor_mu=jnp.asarray(1.0, dtype),
+        gravity=jnp.asarray(9.81, dtype),
+    )
+    return config, params
+
+
+def _mover_wall_collision(config, params, key, pos, with_offset: bool):
+    std0 = params.std_noise[0]
+    with_quat = config.collision_shape == 'box'
+    xy, quat = common.noisy_xy_quat(key, pos[None, :], std0, pos.dtype, with_quat)
+    c = params.c_size + params.c_offset_wall + jnp.where(with_offset, params.c_offset, 0.0)
+    return ~walls.qpos_is_valid(params.grid, xy, c, quat=quat, collision_shape=config.collision_shape).all()
+
+
+def reset(
+    config: PushingConfig,
+    params: PushingParams,
+    key: jax.Array,
+    mover_start_xy_pos: jnp.ndarray | None = None,
+    object_goal_xy_pos: jnp.ndarray | None = None,
+):
+    """Mirror of the reference reset (benchmark_pushing_env.py:373-417): mover
+    uniform over the table, object uniform over the inner box at least
+    ``min_mo_dist`` away (so the mover fits between wall and object), goal
+    uniform over the inner box.  The two optional overrides correspond to the
+    reference's ``options`` keys."""
+    dtype = params.min_xy.dtype
+    key, k_mover, k_obj, k_goal, k_noise, next_key = jax.random.split(key, 6)
+
+    if mover_start_xy_pos is None:
+        mover_xy = jax.random.uniform(k_mover, (2,), dtype, params.min_xy, params.max_xy)
+    else:
+        mover_xy = jnp.asarray(mover_start_xy_pos, dtype).reshape(2)
+
+    def sample_obj(k):
+        return jax.random.uniform(k, (2,), dtype, params.obj_min_xy, params.obj_max_xy)
+
+    def accept_obj(xy):
+        return jnp.linalg.norm(xy - mover_xy) > params.min_mo_dist
+
+    def cond(carry):
+        _, _, ok, trials = carry
+        return jnp.logical_and(~ok, trials < config.max_reset_trials)
+
+    def body(carry):
+        k, _, _, trials = carry
+        k, sub = jax.random.split(k)
+        s = sample_obj(sub)
+        return k, s, accept_obj(s), trials + 1
+
+    k0, first = jax.random.split(k_obj)
+    init = sample_obj(first)
+    _, obj_xy, obj_ok, trials = jax.lax.while_loop(cond, body, (k0, init, accept_obj(init), jnp.asarray(1, jnp.int32)))
+
+    if object_goal_xy_pos is None:
+        goal = jax.random.uniform(k_goal, (2,), dtype, params.obj_min_xy, params.obj_max_xy)
+    else:
+        goal = jnp.asarray(object_goal_xy_pos, dtype).reshape(2)
+
+    zeros = jnp.zeros(2, dtype)
+    state = PushingState(
+        pos=mover_xy, vel=zeros, acc=zeros, act=zeros,
+        obj_pos=obj_xy, obj_vel=zeros, goal=goal,
+        key=next_key, steps=jnp.asarray(0, jnp.int32),
+    )
+    k_wall, k_obs = jax.random.split(k_noise)
+    wall = _mover_wall_collision(config, params, k_wall, mover_xy, with_offset=True)
+    obs = _get_obs(config, params, state, k_obs)
+    info = _get_info(params, obs, wall)
+    info['reset_stalled'] = ~obj_ok
+    info['reset_trials'] = trials
+    return state, obs, info
+
+
+def step(config: PushingConfig, params: PushingParams, state: PushingState, action: jnp.ndarray):
+    """One env step: 40 cycles of (clamp chain -> contact -> integrate ->
+    noisy wall check) with latched early stop."""
+    dtype = state.pos.dtype
+    limit = params.j_max if config.learn_jerk else params.a_max
+    action = jnp.clip(jnp.asarray(action, dtype).reshape(2), -limit, limit)
+
+    key, k_cycles, k_obs = jax.random.split(state.key, 3)
+    mu_g_dt = params.floor_mu * params.gravity * params.dt
+
+    def cycle(carry, k):
+        pos, vel, acc, act, obj_pos, obj_vel, wall, done = carry
+        k_vel, k_wall = jax.random.split(k)
+        vel_meas = vel + jax.random.normal(k_vel, (2,), dtype) * params.std_noise[1]
+
+        # clamp chain -> commanded acceleration of the actuator (jerk mode
+        # measures the *full* qacc incl. contact, benchmark_pushing_env.py:431)
+        if config.learn_jerk:
+            acc_tmp, jerk_1 = dynamics.ensure_max_dyn_val(acc, params.a_max, action, params.dt)
+            _, acc_final = dynamics.ensure_max_dyn_val(vel_meas, params.v_max, acc_tmp, params.dt)
+            clamped = (acc_final != acc_tmp).any(axis=-1, keepdims=True)
+            jerk_ctrl = jnp.where(clamped, (acc_final - acc) / params.dt, jerk_1)
+            new_act = act + params.dt * jerk_ctrl
+            ctrl_acc = new_act
+        else:
+            _, ctrl_acc = dynamics.ensure_max_dyn_val(vel_meas, params.v_max, action, params.dt)
+            new_act = act
+
+        # contact from the current (pre-integration) state, like MuJoCo's
+        # force evaluation at the step's start
+        forces = contact.box_push_contact(
+            pos, vel, obj_pos, obj_vel,
+            params.mover_half, params.object_half,
+            params.contact_k, params.contact_b, params.contact_bt, params.contact_mu,
+        )
+        qacc = ctrl_acc.reshape(2) + forces.f_mover / params.mover_mass
+        new_vel = vel + params.dt * qacc
+        new_pos = pos + params.dt * new_vel
+
+        obj_acc = forces.f_obj / params.object_mass
+        # implicit joint damping as in MuJoCo's Euler integrator
+        v_obj = (obj_vel + params.dt * obj_acc) / (1.0 + params.dt * params.object_damping / params.object_mass)
+        v_obj = contact.coulomb_floor_step(v_obj, mu_g_dt)
+        new_obj_pos = obj_pos + params.dt * v_obj
+
+        new_wall = _mover_wall_collision(config, params, k_wall, new_pos, with_offset=False)
+
+        pos = jnp.where(done, pos, new_pos)
+        vel = jnp.where(done, vel, new_vel)
+        acc = jnp.where(done, acc, qacc)
+        act = jnp.where(done, act, new_act)
+        obj_pos = jnp.where(done, obj_pos, new_obj_pos)
+        obj_vel = jnp.where(done, obj_vel, v_obj)
+        wall = jnp.where(done, wall, new_wall)
+        done = done | wall
+        return (pos, vel, acc, act, obj_pos, obj_vel, wall, done), None
+
+    init = (state.pos, state.vel, state.acc, state.act, state.obj_pos, state.obj_vel,
+            jnp.asarray(False), jnp.asarray(False))
+    (pos, vel, acc, act, obj_pos, obj_vel, wall, _), _ = jax.lax.scan(
+        cycle, init, jax.random.split(k_cycles, config.num_cycles)
+    )
+
+    new_state = PushingState(
+        pos=pos, vel=vel, acc=acc, act=act, obj_pos=obj_pos, obj_vel=obj_vel,
+        goal=state.goal, key=key, steps=state.steps + 1,
+    )
+    obs = _get_obs(config, params, new_state, k_obs)
+    info = _get_info(params, obs, wall)
+    reward = compute_reward(params, obs['achieved_goal'], obs['desired_goal'], wall)
+    terminated = reward == REWARD_WALL_COLLISION  # benchmark_pushing_env.py:474-476
+    truncated = jnp.asarray(False)
+    return new_state, obs, reward, terminated, truncated, info
+
+
+def _get_obs(config, params, state: PushingState, key):
+    dtype = state.pos.dtype
+    k_pos, k_vel, k_obj = jax.random.split(key, 3)
+    pos_noisy = state.pos + jax.random.normal(k_pos, (2,), dtype) * params.std_noise[0]
+    vel_noisy = state.vel + jax.random.normal(k_vel, (2,), dtype) * params.std_noise[1]
+    if config.learn_jerk:
+        observation = jnp.concatenate([pos_noisy, vel_noisy, state.acc])
+    else:
+        observation = jnp.concatenate([pos_noisy, vel_noisy])
+    achieved = state.obj_pos + jax.random.normal(k_obj, (2,), dtype) * params.object_noise
+    return {
+        'observation': observation,
+        'achieved_goal': achieved,
+        'desired_goal': state.goal,
+    }
+
+
+def _get_info(params, obs, wall_collision):
+    dist = jnp.linalg.norm(obs['achieved_goal'] - obs['desired_goal'], axis=-1)
+    return {
+        'is_success': (dist <= params.threshold_pos) & ~wall_collision,
+        'mover_collision': jnp.asarray(False),
+        'wall_collision': wall_collision,
+    }
+
+
+def compute_reward(params: PushingParams, achieved_goal, desired_goal, wall_collision):
+    """HER-compatible batched reward (benchmark_pushing_env.py:499-527):
+    0 at the goal, -1 per step, -50 on mover wall collision."""
+    dist = jnp.linalg.norm(achieved_goal - desired_goal, axis=-1)
+    reached = dist <= params.threshold_pos
+    reward = jnp.where(wall_collision, REWARD_WALL_COLLISION, -1.0)
+    return jnp.where(reached & ~wall_collision, 0.0, reward)
+
+
+def step_autoreset(config: PushingConfig, params: PushingParams, state: PushingState, action):
+    new_state, obs, reward, terminated, _, info = step(config, params, state, action)
+    truncated = new_state.steps >= config.max_episode_steps
+    done = terminated | truncated
+
+    reset_key, carry_key = jax.random.split(new_state.key)
+    reset_state, reset_obs, _ = reset(config, params, reset_key)
+
+    def pick(a, b):
+        return jnp.where(jnp.reshape(done, (1,) * a.ndim) if a.ndim else done, b, a)
+
+    kept = PushingState(
+        pos=pick(new_state.pos, reset_state.pos),
+        vel=pick(new_state.vel, reset_state.vel),
+        acc=pick(new_state.acc, reset_state.acc),
+        act=pick(new_state.act, reset_state.act),
+        obj_pos=pick(new_state.obj_pos, reset_state.obj_pos),
+        obj_vel=pick(new_state.obj_vel, reset_state.obj_vel),
+        goal=pick(new_state.goal, reset_state.goal),
+        key=jnp.where(done, reset_state.key, carry_key),
+        steps=jnp.where(done, reset_state.steps, new_state.steps),
+    )
+    info = dict(info)
+    info['final_observation'] = obs
+    out_obs = {k: pick(v, reset_obs[k]) for k, v in obs.items()}
+    return kept, out_obs, reward, terminated, truncated, info
+
+
+def init_batch(config, params, key, batch: int):
+    keys = jax.random.split(key, batch)
+    return jax.vmap(lambda k: reset(config, params, k))(keys)
+
+
+batched_step = jax.vmap(step, in_axes=(None, None, 0, 0))
+batched_step_autoreset = jax.vmap(step_autoreset, in_axes=(None, None, 0, 0))

@@ -53,13 +53,21 @@ def make_rollout_fn(config, params, step_autoreset_fn, policy: Callable, num_ste
     return rollout
 
 
+def _donation_supported() -> bool:
+    # buffer donation through the tunneled single-chip backend ('axon')
+    # intermittently fails with opaque INVALID_ARGUMENT errors; state copies
+    # are cheap relative to the 40-cycle step, so fall back to copying there
+    return jax.default_backend() != 'axon'
+
+
 def jit_rollout(config, params, step_autoreset_fn, policy, num_steps, mesh=None, axis_name='data'):
     """jit the rollout, optionally with the env batch sharded over ``mesh``."""
     fn = make_rollout_fn(config, params, step_autoreset_fn, policy, num_steps)
+    donate = (0,) if _donation_supported() else ()
     if mesh is None:
-        return jax.jit(fn, donate_argnums=(0,))
+        return jax.jit(fn, donate_argnums=donate)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sh = NamedSharding(mesh, P(axis_name))
     rep = NamedSharding(mesh, P())
-    return jax.jit(fn, in_shardings=(sh, sh, rep), donate_argnums=(0,))
+    return jax.jit(fn, in_shardings=(sh, sh, rep), donate_argnums=donate)

@@ -1,0 +1,136 @@
+"""STL mesh support: parsing, sizing, predefined mover meshes.
+
+Replaces the reference's mesh pipeline (C4 in SURVEY.md §2.1): where the
+reference measures a mesh by building a throwaway one-body MuJoCo model and
+scanning its vertex buffers (``/root/reference/gymnasium_planar_robotics/envs/
+basic_envs.py:1341-1394``), here the STL is parsed directly (binary or ASCII,
+pure NumPy) and the AABB half-extents come from the vertices — no physics
+engine involved.
+
+The reference ships 11 predefined commercial mover/bumper meshes
+(basic_envs.py:1439-1463).  We do not copy those assets; instead this module
+knows their *outer dimensions* (public datasheet geometry) and generates
+simple chamfered-box STLs of the same footprint on first use, so
+``shape='mesh'`` configurations keep working with the same names and the same
+resolved sizes.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+from pathlib import Path
+
+import numpy as np
+
+ASSET_DIR = Path(__file__).parent.parent / 'assets'
+
+# outer (x, y, z) dimensions [m] of the predefined movers/bumpers — the only
+# property the reference's pipeline extracts from the mesh (AABB sizing)
+PREDEFINED_MESH_DIMS: dict[str, tuple[float, float, float]] = {
+    'beckhoff_apm4220_mover': (0.098, 0.098, 0.0121),
+    'beckhoff_apm4220_bumper': (0.113, 0.113, 0.012),
+    'beckhoff_apm4330_mover': (0.140, 0.140, 0.0121),
+    'beckhoff_apm4330_bumper': (0.155, 0.155, 0.012),
+    'beckhoff_apm4550_mover': (0.220, 0.220, 0.0121),
+    'beckhoff_apm4550_bumper': (0.235, 0.235, 0.012),
+    'planar_motor_M3-06': (0.1179, 0.1179, 0.0098),
+    'planar_motor_M3-15': (0.328, 0.208, 0.0118),
+    'planar_motor_M3-25': (0.448, 0.448, 0.0158),
+    'planar_motor_M4-11': (0.236, 0.156, 0.0124),
+    'planar_motor_M4-18': (0.316, 0.316, 0.0124),
+}
+
+
+def read_stl_vertices(path: str | Path) -> np.ndarray:
+    """All triangle vertices of an STL file as an [N, 3] float array."""
+    data = Path(path).read_bytes()
+    if data[:5] == b'solid' and b'facet' in data[:500]:
+        matches = re.findall(rb'vertex\s+([-\d.eE+]+)\s+([-\d.eE+]+)\s+([-\d.eE+]+)', data)
+        return np.array(matches, dtype=np.float64)
+    (n,) = struct.unpack('<I', data[80:84])
+    tris = np.frombuffer(data[84 : 84 + n * 50], dtype=np.uint8).reshape(n, 50)
+    return tris[:, 12:48].copy().view('<f4').astype(np.float64).reshape(-1, 3)
+
+
+def mesh_half_extents(path: str | Path, scale=(1.0, 1.0, 1.0)) -> np.ndarray:
+    """AABB half-extents of a (scaled) mesh — the quantity the reference's
+    ``_find_mesh_dimensions`` computes (basic_envs.py:1341-1394, halved at
+    :1435)."""
+    v = read_stl_vertices(path) * np.asarray(scale, dtype=np.float64)
+    return (v.max(axis=0) - v.min(axis=0)) / 2.0
+
+
+def write_box_stl(path: str | Path, dims, chamfer_frac: float = 0.08) -> None:
+    """Write a chamfered-box binary STL with outer dimensions ``dims``.
+
+    Used to generate stand-in assets for the predefined mover names: an
+    octagonal prism (chamfered corners, like the real movers' rounded
+    bumpers) whose AABB matches the commercial part's footprint.
+    """
+    dx, dy, dz = (float(d) / 2.0 for d in dims)
+    c = chamfer_frac * min(dx, dy) * 2.0
+    # octagon vertices (counter-clockwise, top view)
+    ring = np.array(
+        [
+            (-dx + c, -dy), (dx - c, -dy), (dx, -dy + c), (dx, dy - c),
+            (dx - c, dy), (-dx + c, dy), (-dx, dy - c), (-dx, -dy + c),
+        ]
+    )
+    top = np.hstack([ring, np.full((8, 1), dz)])
+    bot = np.hstack([ring, np.full((8, 1), -dz)])
+
+    tris = []
+    for k in range(1, 7):  # top + bottom fans
+        tris.append((top[0], top[k], top[k + 1]))
+        tris.append((bot[0], bot[k + 1], bot[k]))
+    for k in range(8):  # side quads
+        a, b = k, (k + 1) % 8
+        tris.append((bot[a], bot[b], top[b]))
+        tris.append((bot[a], top[b], top[a]))
+
+    with open(path, 'wb') as f:
+        f.write(b'\0' * 80)
+        f.write(struct.pack('<I', len(tris)))
+        for t in tris:
+            t = np.asarray(t, dtype=np.float32)
+            n = np.cross(t[1] - t[0], t[2] - t[0])
+            nn = np.linalg.norm(n)
+            n = n / nn if nn > 0 else n
+            f.write(n.astype('<f4').tobytes())
+            f.write(t.astype('<f4').tobytes())
+            f.write(b'\0\0')
+
+
+def resolve_mesh_path(name_or_path: str | None, asset_dir: str | Path | None = None) -> Path | None:
+    """Resolve a predefined mesh name or a user path to an STL file.
+
+    Mirrors the reference's ``_resolve_mesh_path`` (basic_envs.py:1439-1463)
+    but generates the predefined asset on first use instead of shipping
+    copyrighted geometry.
+    """
+    if name_or_path is None:
+        return None
+    if name_or_path in PREDEFINED_MESH_DIMS:
+        directory = Path(asset_dir) if asset_dir is not None else ASSET_DIR
+        directory.mkdir(parents=True, exist_ok=True)
+        path = directory / f'{name_or_path}.stl'
+        if not path.exists():
+            write_box_stl(path, PREDEFINED_MESH_DIMS[name_or_path])
+        return path
+    return Path(name_or_path)
+
+
+def resolve_mover_size(
+    mover_shape: str, mover_size, mesh_name_or_path=None, mesh_scale=(1.0, 1.0, 1.0), asset_dir=None
+) -> np.ndarray:
+    """Half-extent triple for a mover: direct for box/cylinder, measured from
+    the mesh AABB for 'mesh' (reference ``_resolve_mover_size``,
+    basic_envs.py:1396-1437)."""
+    if mover_shape in ('box', 'cylinder'):
+        return np.asarray(mover_size, dtype=np.float64).reshape(3)
+    if mover_shape == 'mesh':
+        path = resolve_mesh_path(mesh_name_or_path, asset_dir)
+        assert path is not None, "mesh shape requires a mesh name or path"
+        return mesh_half_extents(path, mesh_scale)
+    raise ValueError(f'unknown mover shape: {mover_shape!r}')

@@ -1,0 +1,150 @@
+"""Adapter-level API tests: Gymnasium single env, vector env, PettingZoo.
+
+Checks the user-facing contract a reference user relies on: env ids resolve
+through ``gym.make`` with the 50-step TimeLimit, spaces match the reference's
+shapes/dtypes, HER's batched compute_* signatures accept array-of-info-dicts,
+reset options work, and rendering produces frames.
+"""
+
+import numpy as np
+import pytest
+
+import gymnasium as gym
+
+import gymnasium_planar_robotics_tpu  # noqa: F401  (registers envs)
+
+
+def test_gym_make_planning_roundtrip():
+    env = gym.make('BenchmarkPlanningEnv-v0', num_movers=2, layout_tiles=np.ones((4, 4)))
+    obs, info = env.reset(seed=7)
+    assert set(obs) == {'observation', 'achieved_goal', 'desired_goal'}
+    assert obs['observation'].shape == (4,)
+    assert obs['achieved_goal'].shape == (4,)
+    assert env.action_space.shape == (4,)
+    assert {'is_success', 'mover_collision', 'wall_collision'} <= set(info)
+
+    terminated = truncated = False
+    steps = 0
+    while not (terminated or truncated):
+        obs, reward, terminated, truncated, info = env.step(np.zeros(4))
+        steps += 1
+        assert isinstance(reward, float)
+    assert steps <= 50
+    if steps == 50 and not terminated:
+        assert truncated  # TimeLimit wrapper (registration max_episode_steps=50)
+    env.close()
+
+
+def test_gym_make_planning_seeding_deterministic():
+    env1 = gym.make('BenchmarkPlanningEnv-v0', num_movers=1)
+    env2 = gym.make('BenchmarkPlanningEnv-v0', num_movers=1)
+    o1, _ = env1.reset(seed=123)
+    o2, _ = env2.reset(seed=123)
+    np.testing.assert_array_equal(o1['achieved_goal'], o2['achieved_goal'])
+    np.testing.assert_array_equal(o1['desired_goal'], o2['desired_goal'])
+    a = np.array([1.0, -1.0])
+    r1 = env1.step(a)
+    r2 = env2.step(a)
+    np.testing.assert_array_equal(r1[0]['observation'], r2[0]['observation'])
+    assert r1[1] == r2[1]
+
+
+def test_gym_make_pushing_roundtrip_and_options():
+    env = gym.make('BenchmarkPushingEnv-v0')
+    obs, info = env.reset(
+        seed=3, options={'mover_start_xy_pos': np.array([0.3, 0.3]), 'object_goal_xy_pos': np.array([0.5, 0.5])}
+    )
+    assert obs['observation'].shape == (4,)
+    np.testing.assert_allclose(obs['desired_goal'], [0.5, 0.5], atol=1e-12)
+    obs, reward, terminated, truncated, info = env.step(np.array([1.0, 0.0]))
+    assert reward == -1.0
+    assert not terminated
+    env.close()
+
+
+def test_her_batched_compute_reward_with_info_dicts():
+    env = gym.make('BenchmarkPlanningEnv-v0', num_movers=1).unwrapped
+    achieved = np.array([[0.3, 0.3], [0.3, 0.3], [0.3, 0.3]])
+    desired = np.array([[0.31, 0.3], [0.6, 0.6], [0.31, 0.3]])
+    infos = np.array(
+        [
+            {'mover_collision': False, 'wall_collision': False},
+            {'mover_collision': False, 'wall_collision': False},
+            {'mover_collision': True, 'wall_collision': False},
+        ]
+    )
+    r = env.compute_reward(achieved, desired, infos)
+    np.testing.assert_array_equal(r, [50.0, -1.0, -50.0])
+    t = env.compute_terminated(achieved, desired, infos)
+    np.testing.assert_array_equal(t, [True, False, True])
+    tr = env.compute_truncated(achieved, desired, infos)
+    np.testing.assert_array_equal(tr, [False, False, False])
+
+    # scalar path
+    assert env.compute_reward(achieved[0], desired[0], infos[0]) == 50.0
+    assert env.compute_terminated(achieved[0], desired[0], infos[0]) is True
+
+
+def test_pushing_her_reward():
+    env = gym.make('BenchmarkPushingEnv-v0').unwrapped
+    achieved = np.array([[0.4, 0.4], [0.4, 0.4]])
+    desired = np.array([[0.42, 0.4], [0.6, 0.6]])
+    infos = np.array(
+        [
+            {'mover_collision': False, 'wall_collision': False},
+            {'mover_collision': False, 'wall_collision': True},
+        ]
+    )
+    r = env.compute_reward(achieved, desired, infos)
+    np.testing.assert_array_equal(r, [0.0, -50.0])
+    t = env.compute_terminated(achieved, desired, infos)
+    np.testing.assert_array_equal(t, [False, True])
+
+
+def test_vector_env_autoreset():
+    from gymnasium_planar_robotics_tpu.envs.vector_env import PlanningVectorEnv
+    import jax.numpy as jnp
+
+    venv = PlanningVectorEnv(num_envs=8, num_movers=1, dtype=jnp.float64)
+    obs, info = venv.reset(seed=0)
+    assert obs['observation'].shape == (8, 2)
+    for _ in range(55):
+        obs, reward, terminated, truncated, info = venv.step(np.zeros((8, 2)))
+    assert reward.shape == (8,)
+    assert 'final_observation' in info
+    assert np.isfinite(obs['observation']).all()
+
+
+def test_pettingzoo_parallel_api():
+    from gymnasium_planar_robotics_tpu.envs.pettingzoo_env import PlanningParallelEnv
+
+    env = PlanningParallelEnv(num_movers=3, layout_tiles=np.ones((4, 4)), std_noise=0.0)
+    obs, infos = env.reset(seed=1)
+    assert set(env.agents) == {'mover_0', 'mover_1', 'mover_2'}
+    assert set(obs) == set(env.agents)
+    assert obs['mover_0']['observation'].shape == (2,)
+    assert obs['mover_1']['achieved_goal'].shape == (2,)
+
+    actions = {a: np.zeros(2) for a in env.agents}
+    obs, rewards, terminations, truncations, infos = env.step(actions)
+    assert set(rewards) == set(env.possible_agents)
+    assert all(isinstance(v, float) for v in rewards.values())
+    # shared-fate termination flags agree across agents
+    assert len(set(terminations.values())) == 1
+
+
+def test_rgb_array_render():
+    env = gym.make('BenchmarkPlanningEnv-v0', num_movers=2, render_mode='rgb_array')
+    env.reset(seed=0)
+    frame = env.render()
+    assert frame is not None and frame.ndim == 3 and frame.shape[2] == 3
+    assert frame.max() > 0
+    env.close()
+
+
+def test_pushing_render_shows_object():
+    env = gym.make('BenchmarkPushingEnv-v0', render_mode='rgb_array')
+    env.reset(seed=0)
+    frame = env.render()
+    assert frame is not None and frame.shape[2] == 3
+    env.close()

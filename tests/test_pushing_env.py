@@ -1,0 +1,184 @@
+"""Pushing env correctness: free-motion exactness + contact calibration.
+
+Mirrors the reference's own test strategy
+(``/root/reference/tests/test_benchmark_pushing_env.py``: mover placed away
+from the object so contact never perturbs the physics oracle) and adds what
+the reference cannot test — quantitative contact-model tolerances against the
+MuJoCo engine (SURVEY.md §2.2 P3: tolerance-matched, not bit-exact).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gymnasium_planar_robotics_tpu.models import pushing
+
+from conftest import import_reference, reference_available
+
+
+def _state(config, params, mover_xy, obj_xy, goal=(0.6, 0.6)):
+    z = jnp.zeros(2, jnp.float64)
+    return pushing.PushingState(
+        pos=jnp.asarray(mover_xy, jnp.float64), vel=z, acc=z, act=z,
+        obj_pos=jnp.asarray(obj_xy, jnp.float64), obj_vel=z,
+        goal=jnp.asarray(goal, jnp.float64),
+        key=jax.random.PRNGKey(0), steps=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _run_reference(mover_start, obj_start, actions, learn_jerk=False):
+    import_reference()
+    from gymnasium_planar_robotics.envs.manipulation.benchmark_pushing_env import BenchmarkPushingEnv
+    from gymnasium_planar_robotics.utils import mujoco_utils
+
+    env = BenchmarkPushingEnv(std_noise=0.0, render_mode=None, learn_jerk=learn_jerk)
+    env.object_xy_start_pos = np.array(obj_start)
+    env.object_xy_goal_pos = np.array([0.6, 0.6])
+    env.reload_model(mover_start_xy_pos=np.array([mover_start]))
+    rows = []
+    for a in actions:
+        obs, rew, term, trunc, info = env.step(np.asarray(a, float))
+        mq = env.get_mover_qpos(env.mover_names[0])
+        mv = env.get_mover_qvel(env.mover_names[0])
+        oq = mujoco_utils.get_joint_qpos(env.model, env.data, env.object_joint_name)
+        rows.append(
+            dict(mx=mq[0], my=mq[1], mvx=mv[0], mvy=mv[1], ox=oq[0], oy=oq[1],
+                 rew=float(rew), term=bool(term), wall=bool(info['wall_collision']))
+        )
+    return rows
+
+
+def _run_mine(mover_start, obj_start, actions, learn_jerk=False):
+    config, params = pushing.make_pushing_env(std_noise=0.0, learn_jerk=learn_jerk, dtype=jnp.float64)
+    st = _state(config, params, mover_start, obj_start)
+    stepf = jax.jit(lambda s, a: pushing.step(config, params, s, a))
+    rows = []
+    for a in actions:
+        st, obs, rew, term, trunc, info = stepf(st, jnp.asarray(a, jnp.float64))
+        rows.append(
+            dict(mx=float(st.pos[0]), my=float(st.pos[1]), mvx=float(st.vel[0]), mvy=float(st.vel[1]),
+                 ox=float(st.obj_pos[0]), oy=float(st.obj_pos[1]),
+                 rew=float(rew), term=bool(term), wall=bool(info['wall_collision']))
+        )
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# free motion (no contact): must be exact, like the planning env
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
+@pytest.mark.parametrize('learn_jerk', [False, True])
+def test_free_motion_exact_vs_reference(learn_jerk):
+    """Mover far from the object: trajectories must match to float tolerance
+    (the reference's own pushing tests use exactly this regime)."""
+    actions = [[0.9, -0.4]] * 6 + [[-0.5, 0.8]] * 6
+    if learn_jerk:
+        actions = [[30.0, -12.0]] * 6 + [[-20.0, 25.0]] * 6
+    ref = _run_reference([0.20, 0.20], [0.60, 0.60], actions, learn_jerk)
+    mine = _run_mine([0.20, 0.20], [0.60, 0.60], actions, learn_jerk)
+    for t, (r, m) in enumerate(zip(ref, mine)):
+        for k in ('mx', 'my', 'mvx', 'mvy'):
+            assert abs(r[k] - m[k]) < 1e-9, f't={t} {k}: {r[k]} vs {m[k]}'
+        assert abs(r['ox'] - m['ox']) < 1e-6 and abs(r['oy'] - m['oy']) < 1e-6
+        assert r['rew'] == m['rew'], f't={t}'
+        assert r['term'] == m['term'], f't={t}'
+
+
+# ---------------------------------------------------------------------------
+# contact: tolerance-calibrated against the MuJoCo engine
+# ---------------------------------------------------------------------------
+
+
+CONTACT_SCENARIOS = {
+    # name: (mover_start, obj_start, actions, obj tolerance [m])
+    'headon': ([0.24, 0.36], [0.4005, 0.36], [[3.0, 0.0]] * 10, 0.010),
+    'offcenter': ([0.24, 0.40], [0.36, 0.44], [[3.0, 0.0]] * 10, 0.010),
+    'push_release': ([0.24, 0.36], [0.4005, 0.36], [[5.0, 0.0]] * 5 + [[-5.0, 0.0]] * 5, 0.010),
+    'slow': ([0.30, 0.36], [0.4005, 0.36], [[1.0, 0.0]] * 12, 0.010),
+    # corner-on-corner contact: MuJoCo's box-box corner normal breaks the
+    # diagonal symmetry in ways the axis-aligned model cannot; keep loose
+    'diagonal': ([0.24, 0.24], [0.34, 0.34], [[2.0, 2.0]] * 10, 0.060),
+}
+
+
+@pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
+@pytest.mark.parametrize('name', sorted(CONTACT_SCENARIOS))
+def test_contact_calibration_vs_reference(name):
+    mover_start, obj_start, actions, tol = CONTACT_SCENARIOS[name]
+    ref = _run_reference(mover_start, obj_start, actions)
+    mine = _run_mine(mover_start, obj_start, actions)
+    for t, (r, m) in enumerate(zip(ref, mine)):
+        err = max(abs(r['ox'] - m['ox']), abs(r['oy'] - m['oy']))
+        assert err < tol, f'{name} t={t}: object err {err:.4f} >= {tol}'
+        # mover stays close too (reaction force model)
+        merr = max(abs(r['mx'] - m['mx']), abs(r['my'] - m['my']))
+        assert merr < tol + 0.005, f'{name} t={t}: mover err {merr:.4f}'
+
+
+@pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
+def test_wall_collision_termination_matches_reference():
+    """Drive the mover into the wall: reward -50 and termination at the same
+    env step as the reference."""
+    actions = [[6.0, 0.0]] * 14
+    ref = _run_reference([0.40, 0.36], [0.60, 0.60], actions)
+    mine = _run_mine([0.40, 0.36], [0.60, 0.60], actions)
+    ref_t = next(t for t, r in enumerate(ref) if r['term'])
+    mine_t = next(t for t, m in enumerate(mine) if m['term'])
+    assert ref_t == mine_t, f'termination step: ref {ref_t} vs mine {mine_t}'
+    assert ref[ref_t]['rew'] == mine[mine_t]['rew'] == -50.0
+
+
+# ---------------------------------------------------------------------------
+# semantics without the reference
+# ---------------------------------------------------------------------------
+
+
+def test_reward_goal_semantics():
+    config, params = pushing.make_pushing_env(std_noise=0.0, dtype=jnp.float64)
+    r = pushing.compute_reward(params, jnp.asarray([0.4, 0.4]), jnp.asarray([0.42, 0.4]), jnp.asarray(False))
+    assert float(r) == 0.0  # within threshold 0.05
+    r = pushing.compute_reward(params, jnp.asarray([0.2, 0.4]), jnp.asarray([0.42, 0.4]), jnp.asarray(False))
+    assert float(r) == -1.0
+    r = pushing.compute_reward(params, jnp.asarray([0.4, 0.4]), jnp.asarray([0.42, 0.4]), jnp.asarray(True))
+    assert float(r) == -50.0
+    # batched (HER relabeling path)
+    rb = pushing.compute_reward(
+        params,
+        jnp.asarray([[0.4, 0.4], [0.2, 0.4]]),
+        jnp.asarray([[0.42, 0.4], [0.42, 0.4]]),
+        jnp.asarray([False, False]),
+    )
+    np.testing.assert_array_equal(np.asarray(rb), [0.0, -1.0])
+
+
+def test_reset_respects_overrides_and_min_distance():
+    config, params = pushing.make_pushing_env(dtype=jnp.float64)
+    state, obs, info = pushing.reset(
+        config, params, jax.random.PRNGKey(0),
+        mover_start_xy_pos=np.array([0.3, 0.3]), object_goal_xy_pos=np.array([0.5, 0.5]),
+    )
+    np.testing.assert_allclose(np.asarray(state.pos), [0.3, 0.3])
+    np.testing.assert_allclose(np.asarray(state.goal), [0.5, 0.5])
+    assert float(jnp.linalg.norm(state.obj_pos - state.pos)) > float(params.min_mo_dist)
+
+    # pure sampling: distance respected across many seeds
+    for seed in range(20):
+        s, _, _ = pushing.reset(config, params, jax.random.PRNGKey(seed))
+        assert float(jnp.linalg.norm(s.obj_pos - s.pos)) > float(params.min_mo_dist)
+
+
+def test_autoreset_and_batching():
+    config, params = pushing.make_pushing_env(dtype=jnp.float64)
+    batch = 8
+    state, obs, _ = pushing.init_batch(config, params, jax.random.PRNGKey(1), batch)
+    actions = jnp.zeros((batch, 2), jnp.float64)
+    stepf = jax.jit(lambda s, a: pushing.batched_step_autoreset(config, params, s, a))
+    for _ in range(55):
+        state, obs, rew, term, trunc, info = stepf(state, actions)
+    # every env restarted at least once by the 50-step limit
+    assert (np.asarray(state.steps) < 55).all()
+    assert np.isfinite(np.asarray(obs['observation'])).all()
