@@ -36,6 +36,8 @@ def _load_lib():
             lib.ts_writer_append.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64]
             lib.ts_writer_frames_written.restype = ctypes.c_uint64
             lib.ts_writer_frames_written.argtypes = [ctypes.c_void_p]
+            lib.ts_writer_queue_bytes.restype = ctypes.c_uint64
+            lib.ts_writer_queue_bytes.argtypes = [ctypes.c_void_p]
             lib.ts_writer_close.restype = ctypes.c_int
             lib.ts_writer_close.argtypes = [ctypes.c_void_p]
             lib.ts_reader_open.restype = ctypes.c_void_p
@@ -122,10 +124,22 @@ class TrajWriter:
     def frames_written(self) -> int:
         if self._native is not None:
             return int(_LIB.ts_writer_frames_written(self._native))
-        return self._count
+        return getattr(self, '_count', getattr(self, '_final_count', 0))
 
     def close(self) -> None:
         if self._native is not None:
+            import time
+
+            # wait for the background thread to drain so the final count is
+            # complete, then close (the worker pops before writing, so also
+            # wait for the counter to go quiescent after the queue empties)
+            while int(_LIB.ts_writer_queue_bytes(self._native)) > 0:
+                time.sleep(0.001)
+            prev, cur = -1, int(_LIB.ts_writer_frames_written(self._native))
+            while cur != prev:
+                time.sleep(0.002)
+                prev, cur = cur, int(_LIB.ts_writer_frames_written(self._native))
+            self._final_count = cur
             rc = _LIB.ts_writer_close(self._native)
             self._native = None
             if rc != 0:
