@@ -49,6 +49,10 @@ class PlanningConfig:
     collision_shape: str = 'circle'  # 'circle' | 'box'
     max_reset_trials: int = 100
     max_episode_steps: int = 50  # TimeLimit applied by step_autoreset / adapters
+    # 'sparse' = reference semantics (+50 / -50 / -#unreached); 'dense' is an
+    # opt-in shaped variant (-sum of goal distances, same collision penalty)
+    # for learners without hindsight relabeling
+    reward_mode: str = 'sparse'
 
 
 @jax.tree_util.register_dataclass
@@ -104,6 +108,7 @@ def make_planning_env(
     threshold_pos: float = 0.1,
     dtype=jnp.float32,
     max_reset_trials: int = 100,
+    reward_mode: str = 'sparse',
 ) -> tuple[PlanningConfig, PlanningParams]:
     """Host-side constructor mirroring the reference's kwargs
     (benchmark_planning_env.py:165-291)."""
@@ -148,6 +153,7 @@ def make_planning_env(
         learn_jerk=learn_jerk,
         collision_shape=c_shape,
         max_reset_trials=max_reset_trials,
+        reward_mode=reward_mode,
     )
     params = PlanningParams(
         grid=grid,
@@ -409,7 +415,10 @@ def compute_reward(
     dist = _goal_distances(config, achieved_goal, desired_goal)
     num_reached = (dist <= params.threshold_pos).sum(axis=-1)
     collided = mover_collision | wall_collision
-    reward = jnp.where(collided, -REWARD_SUCCESS, -(config.num_movers - num_reached).astype(dist.dtype))
+    if config.reward_mode == 'dense':
+        reward = jnp.where(collided, -REWARD_SUCCESS, -dist.sum(axis=-1))
+    else:
+        reward = jnp.where(collided, -REWARD_SUCCESS, -(config.num_movers - num_reached).astype(dist.dtype))
     all_reached = num_reached == config.num_movers
     return jnp.where(all_reached & ~collided, REWARD_SUCCESS, reward)
 
