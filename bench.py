@@ -128,6 +128,57 @@ def _run_scaling() -> None:
     }))
 
 
+def bench_multiagent(batch=1024, num_agents=4):
+    """BASELINE config 4: PettingZoo-style parallel multi-agent, batched."""
+    from gymnasium_planar_robotics_tpu.models import multi_agent, planning
+
+    config, params = planning.make_planning_env(
+        layout_tiles=np.ones((4, 4)), num_movers=num_agents, std_noise=1e-5, dtype=jnp.float32
+    )
+    state, obs, _ = jax.block_until_ready(planning.init_batch(config, params, jax.random.PRNGKey(0), batch))
+    step = multi_agent.make_batched_parallel_step(config, params)
+    key = jax.random.PRNGKey(1)
+
+    def actions(k):
+        return jax.random.uniform(k, (batch, num_agents, 2), jnp.float32, -10.0, 10.0)
+
+    state, out = jax.block_until_ready(step(state, actions(key)))  # compile
+    t0 = time.perf_counter()
+    for i in range(TIMED_CALLS * 4):
+        key, k = jax.random.split(key)
+        state, out = step(state, actions(k))
+    jax.block_until_ready(out.reward)
+    return batch * TIMED_CALLS * 4 / (time.perf_counter() - t0)
+
+
+def bench_mixed(batch_each=2048):
+    """BASELINE config 5 shape: planning + pushing batches stepped inside ONE
+    jitted program (what a mixed-suite learner consumes per iteration)."""
+    from gymnasium_planar_robotics_tpu.models import planning, pushing
+
+    pc, pp = planning.make_planning_env(np.ones((3, 3)), 1, std_noise=1e-5, dtype=jnp.float32)
+    qc, qp = pushing.make_pushing_env(std_noise=1e-5, dtype=jnp.float32)
+    ps, pobs, _ = planning.init_batch(pc, pp, jax.random.PRNGKey(0), batch_each)
+    qs, qobs, _ = pushing.init_batch(qc, qp, jax.random.PRNGKey(1), batch_each)
+
+    @jax.jit
+    def step(ps, qs, key):
+        k1, k2, key = jax.random.split(key, 3)
+        pa = jax.random.uniform(k1, (batch_each, 2), jnp.float32, -10.0, 10.0)
+        qa = jax.random.uniform(k2, (batch_each, 2), jnp.float32, -10.0, 10.0)
+        ps, _, pr, *_ = planning.batched_step_autoreset(pc, pp, ps, pa)
+        qs, _, qr, *_ = pushing.batched_step_autoreset(qc, qp, qs, qa)
+        return ps, qs, key, pr.mean() + qr.mean()
+
+    key = jax.random.PRNGKey(2)
+    ps, qs, key, m = jax.block_until_ready(step(ps, qs, key))
+    t0 = time.perf_counter()
+    for _ in range(TIMED_CALLS * 4):
+        ps, qs, key, m = step(ps, qs, key)
+    jax.block_until_ready(m)
+    return 2 * batch_each * TIMED_CALLS * 4 / (time.perf_counter() - t0)
+
+
 def main() -> None:
     import os
 
@@ -145,6 +196,8 @@ def main() -> None:
             ('pushing 4096 envs', bench_pushing(4096), REF_PUSHING),
             ('planning 1-mover 4096 envs', bench_planning(4096, 1), REF_PLANNING_1),
             ('planning 4-mover 256 envs', bench_planning(256, 4, np.ones((4, 4))), REF_PLANNING_4),
+            ('multi-agent 4x1024 envs', bench_multiagent(1024, 4), REF_PLANNING_4),
+            ('mixed planning+pushing 4096 envs', bench_mixed(2048), REF_PUSHING),
         ]
         for name, v, ref in rows:
             print(json.dumps({'metric': f'{name} env-steps/s per chip', 'value': round(v, 1),
