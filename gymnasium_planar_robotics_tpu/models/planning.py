@@ -181,6 +181,43 @@ def make_planning_env(
 # ---------------------------------------------------------------------------
 
 
+def _apply_pose_noise(config, pos, noise):
+    """(noisy_xy, noisy_quat) from a pre-drawn noise row ([M, 2] or [M, 6])."""
+    xy = pos + noise[:, :2]
+    if config.collision_shape == 'box':
+        quat = jnp.asarray(common.IDENTITY_QUAT, pos.dtype) + noise[:, 2:]
+    else:
+        quat = None
+    return xy, quat
+
+
+def _pose_noise_dims(config: PlanningConfig) -> int:
+    return 6 if config.collision_shape == 'box' else 2
+
+
+def _collision_checks(
+    config: PlanningConfig,
+    params: PlanningParams,
+    pos: jnp.ndarray,
+    wall_noise: jnp.ndarray,
+    mover_noise: jnp.ndarray,
+    wall_safety_offset: bool,
+    mover_safety_offset: bool,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(wall_collision, mover_collision) using pre-drawn sensor noise,
+    mirroring the two per-cycle checks at basic_envs.py:1888-1901 (each check
+    perturbs the pose independently, as the reference's separate
+    get_mover_qpos calls do)."""
+    xy_w, quat_w = _apply_pose_noise(config, pos, wall_noise)
+    c_wall = params.c_size + params.c_offset_wall + jnp.where(wall_safety_offset, params.c_offset, 0.0)
+    wall = common.wall_collision_any(params.grid, xy_w, quat_w, c_wall, config.collision_shape)
+
+    xy_m, quat_m = _apply_pose_noise(config, pos, mover_noise)
+    c_mover = params.c_size + jnp.where(mover_safety_offset, params.c_offset, 0.0)
+    mover = common.mover_collision_any(xy_m, quat_m, c_mover, config.collision_shape)
+    return wall, mover
+
+
 def _noisy_collision_checks(
     config: PlanningConfig,
     params: PlanningParams,
@@ -189,22 +226,12 @@ def _noisy_collision_checks(
     wall_safety_offset: bool,
     mover_safety_offset: bool,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(wall_collision, mover_collision) with fresh sensor noise, mirroring the
-    two per-cycle checks at basic_envs.py:1888-1901 (each check draws its own
-    noise, as the reference's separate get_mover_qpos calls do)."""
-    k_wall, k_mover = jax.random.split(key)
-    std0 = params.std_noise[0]
-    dtype = pos.dtype
-    with_quat = config.collision_shape == 'box'
-
-    xy_w, quat_w = common.noisy_xy_quat(k_wall, pos, std0, dtype, with_quat)
-    c_wall = params.c_size + params.c_offset_wall + jnp.where(wall_safety_offset, params.c_offset, 0.0)
-    wall = common.wall_collision_any(params.grid, xy_w, quat_w, c_wall, config.collision_shape)
-
-    xy_m, quat_m = common.noisy_xy_quat(k_mover, pos, std0, dtype, with_quat)
-    c_mover = params.c_size + jnp.where(mover_safety_offset, params.c_offset, 0.0)
-    mover = common.mover_collision_any(xy_m, quat_m, c_mover, config.collision_shape)
-    return wall, mover
+    m = config.num_movers
+    n = _pose_noise_dims(config)
+    noise = jax.random.normal(key, (2, m, n), pos.dtype) * params.std_noise[0]
+    return _collision_checks(
+        config, params, pos, noise[0], noise[1], wall_safety_offset, mover_safety_offset
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -318,17 +345,28 @@ def step(
 
     key, k_cycles, k_obs = jax.random.split(state.key, 3)
 
-    def cycle(carry, k):
+    # all per-cycle sensor noise drawn in one fused op before the scan (same
+    # distributions as per-cycle draws; the stream layout differs, which only
+    # matters for cross-engine bit-matching of noisy runs — impossible anyway,
+    # SURVEY.md §2.3 D4)
+    c = config.num_cycles
+    n = _pose_noise_dims(config)
+    k_vel, k_checks = jax.random.split(k_cycles)
+    vel_noise = jax.random.normal(k_vel, (c, m, 2), dtype) * params.std_noise[1]
+    pose_noise = jax.random.normal(k_checks, (c, 2, m, n), dtype) * params.std_noise[0]
+
+    def cycle(carry, noise):
         pos, vel, acc, act, wall, mover, done = carry
-        k_vel, k_checks = jax.random.split(k)
+        nv, npose = noise
         # noisy velocity reading for the clamp chain (benchmark_planning_env.py:430)
-        vel_meas = vel + jax.random.normal(k_vel, (m, 2), dtype) * params.std_noise[1]
+        vel_meas = vel + nv
         if config.learn_jerk:
             res = dynamics.jerk_cycle(pos, vel, act, vel_meas, action, params.v_max, params.a_max, params.dt)
         else:
             res = dynamics.acceleration_cycle(pos, vel, vel_meas, action, params.v_max, params.dt)
-        new_wall, new_mover = _noisy_collision_checks(
-            config, params, k_checks, res.pos, wall_safety_offset=False, mover_safety_offset=False
+        new_wall, new_mover = _collision_checks(
+            config, params, res.pos, npose[0], npose[1],
+            wall_safety_offset=False, mover_safety_offset=False,
         )
         # latch: once done, state freezes and flags keep their value at the
         # colliding cycle (reference `break`, basic_envs.py:1902-1905)
@@ -350,7 +388,7 @@ def step(
         jnp.asarray(False),
         jnp.asarray(False),
     )
-    (pos, vel, acc, act, wall, mover, _), _ = jax.lax.scan(cycle, init, jax.random.split(k_cycles, config.num_cycles))
+    (pos, vel, acc, act, wall, mover, _), _ = jax.lax.scan(cycle, init, (vel_noise, pose_noise))
 
     new_state = PlanningState(
         pos=pos, vel=vel, acc=acc, act=act, goals=state.goals, key=key, steps=state.steps + 1

@@ -53,21 +53,22 @@ def make_rollout_fn(config, params, step_autoreset_fn, policy: Callable, num_ste
     return rollout
 
 
-def _donation_supported() -> bool:
-    # buffer donation through the tunneled single-chip backend ('axon')
-    # intermittently fails with opaque INVALID_ARGUMENT errors; state copies
-    # are cheap relative to the 40-cycle step, so fall back to copying there
-    return jax.default_backend() != 'axon'
-
-
 def jit_rollout(config, params, step_autoreset_fn, policy, num_steps, mesh=None, axis_name='data'):
-    """jit the rollout, optionally with the env batch sharded over ``mesh``."""
+    """jit the rollout, optionally with the env batch sharded over ``mesh``.
+
+    No donation at this boundary, deliberately: observation pytrees can alias
+    state leaves (e.g. ``desired_goal`` IS ``state.goal``, and XLA dedupes
+    identical executable outputs), so donating the state produces
+    "buffer previously donated in the same call" failures — which the
+    tunneled TPU backend surfaces only as an opaque INVALID_ARGUMENT.  The
+    state is KB-scale per thousand envs; the copy is free next to the
+    40-cycle step.
+    """
     fn = make_rollout_fn(config, params, step_autoreset_fn, policy, num_steps)
-    donate = (0,) if _donation_supported() else ()
     if mesh is None:
-        return jax.jit(fn, donate_argnums=donate)
+        return jax.jit(fn)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sh = NamedSharding(mesh, P(axis_name))
     rep = NamedSharding(mesh, P())
-    return jax.jit(fn, in_shardings=(sh, sh, rep), donate_argnums=donate)
+    return jax.jit(fn, in_shardings=(sh, sh, rep))
