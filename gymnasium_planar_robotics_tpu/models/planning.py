@@ -120,8 +120,24 @@ def make_planning_env(
     grid = make_tile_grid(layout_tiles, tile_size, dtype=dtype)
 
     mover_mass = np.broadcast_to(np.asarray(mover_params.get('mass', 1.24), dtype=np.float64).reshape(-1), (num_movers,))
-    mover_size = np.asarray(mover_params.get('size', np.array([0.155 / 2, 0.155 / 2, 0.012 / 2])))
-    mover_size = np.broadcast_to(mover_size.reshape(-1, 3), (num_movers, 3))
+    mover_shape = mover_params.get('shape', 'box')
+    if mover_shape == 'mesh':
+        # mesh movers: size comes from the (scaled) mesh AABB, exactly like the
+        # reference's _resolve_mover_size (basic_envs.py:1396-1437)
+        from gymnasium_planar_robotics_tpu.utils import meshes
+
+        mesh_cfg = mover_params.get('mesh', {})
+        mover_size = meshes.resolve_mover_size(
+            'mesh',
+            None,
+            mesh_cfg.get('mover_stl_path', 'beckhoff_apm4330_mover'),
+            mesh_cfg.get('scale', (1.0, 1.0, 1.0)),
+        )
+        mover_size = np.broadcast_to(mover_size.reshape(-1, 3), (num_movers, 3))
+    else:
+        assert mover_shape in ('box', 'cylinder'), f'unknown mover shape {mover_shape!r}'
+        mover_size = np.asarray(mover_params.get('size', np.array([0.155 / 2, 0.155 / 2, 0.012 / 2])))
+        mover_size = np.broadcast_to(mover_size.reshape(-1, 3), (num_movers, 3))
 
     c_shape = collision_params.get('shape', 'circle')
     c_size_in = collision_params.get('size', 0.11)
