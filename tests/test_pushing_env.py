@@ -120,6 +120,17 @@ def test_contact_calibration_vs_reference(name):
 
 
 @pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
+def test_contact_calibration_jerk_mode():
+    """Jerk-actuated push: the act-state chain + contact must track MuJoCo."""
+    actions = [[60.0, 0.0]] * 8 + [[-60.0, 0.0]] * 4
+    ref = _run_reference([0.24, 0.36], [0.4005, 0.36], actions, learn_jerk=True)
+    mine = _run_mine([0.24, 0.36], [0.4005, 0.36], actions, learn_jerk=True)
+    for t, (r, m) in enumerate(zip(ref, mine)):
+        err = max(abs(r['ox'] - m['ox']), abs(r['oy'] - m['oy']))
+        assert err < 0.012, f'jerk t={t}: object err {err:.4f}'
+
+
+@pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
 def test_wall_collision_termination_matches_reference():
     """Drive the mover into the wall: reward -50 and termination at the same
     env step as the reference."""
