@@ -153,7 +153,15 @@ class PlanningGymEnv(_JaxGymEnv):
         self.action_space = gym.spaces.Box(-limit, limit, shape=(m * 2,), dtype=np.float64)
 
     def _reset_core(self, key, options):
-        return planning_model.reset(self.config, self.params, key)
+        # start/goal overrides: counterpart of the reference base class's
+        # initial_mover_{start,goal}_xy_pos kwargs (basic_envs.py:176-177)
+        return planning_model.reset(
+            self.config,
+            self.params,
+            key,
+            start_xy=options.get('mover_start_xy_pos'),
+            goals_xy=options.get('mover_goal_xy_pos'),
+        )
 
     def _render_state(self):
         return {

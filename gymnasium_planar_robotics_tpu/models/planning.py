@@ -147,7 +147,14 @@ def make_planning_env(
 
     std = np.asarray(std_noise, dtype=np.float64).reshape(-1)
     std = np.broadcast_to(std, (3,)) if std.shape == (1,) else std
-    assert std.shape == (3,)
+    assert std.shape == (3,), 'noise standard deviation has to be a float or an array of shape (3,)'
+
+    # construction-time validation (reference basic_envs.py:1469-1626)
+    from gymnasium_planar_robotics_tpu.models import validation
+
+    validation.check_tile_config(layout_tiles, tile_size)
+    validation.check_mover_config(num_movers, mover_size, mover_mass, initial_mover_zpos)
+    validation.check_collision_params(c_shape, np.asarray(c_size), mover_size, mover_shape)
 
     # sampling bounds: grid bbox shrunk by the full safety margin
     # (benchmark_planning_env.py:262-267; for 'box' the margin is the 2-vector)
@@ -282,11 +289,19 @@ def _rejection_sample(key, sample_fn, accept_fn, max_trials: int):
 
 
 def reset(
-    config: PlanningConfig, params: PlanningParams, key: jax.Array
+    config: PlanningConfig,
+    params: PlanningParams,
+    key: jax.Array,
+    start_xy: jnp.ndarray | None = None,
+    goals_xy: jnp.ndarray | None = None,
 ) -> tuple[PlanningState, dict[str, jnp.ndarray], dict[str, jnp.ndarray]]:
     """Sample collision-free starts and reachable, separated goals; build a
     fresh episode state (reference _reset_callback + base reset,
-    benchmark_planning_env.py:355-418, basic_envs.py:1770-1833)."""
+    benchmark_planning_env.py:355-418, basic_envs.py:1770-1833).
+
+    ``start_xy`` / ``goals_xy`` ([M, 2]) override sampling — the counterpart
+    of the reference base class's ``initial_mover_start_xy_pos`` /
+    ``initial_mover_goal_xy_pos`` kwargs (basic_envs.py:176-177)."""
     m = config.num_movers
     dtype = params.min_xy.dtype
     key, k_start, k_goal, k_noise, next_key = jax.random.split(key, 5)
@@ -319,8 +334,16 @@ def reset(
             separated = jnp.asarray(True)
         return reachable & separated
 
-    start_xy, start_ok, start_trials = _rejection_sample(k_start, sample_xy, accept_start, config.max_reset_trials)
-    goal_xy, goal_ok, goal_trials = _rejection_sample(k_goal, sample_xy, accept_goal, config.max_reset_trials)
+    if start_xy is None:
+        start_xy, start_ok, start_trials = _rejection_sample(k_start, sample_xy, accept_start, config.max_reset_trials)
+    else:
+        start_xy = jnp.asarray(start_xy, dtype).reshape(m, 2)
+        start_ok, start_trials = accept_start(start_xy), jnp.asarray(0, jnp.int32)
+    if goals_xy is None:
+        goal_xy, goal_ok, goal_trials = _rejection_sample(k_goal, sample_xy, accept_goal, config.max_reset_trials)
+    else:
+        goal_xy = jnp.asarray(goals_xy, dtype).reshape(m, 2)
+        goal_ok, goal_trials = accept_goal(goal_xy), jnp.asarray(0, jnp.int32)
 
     zeros = jnp.zeros((m, 2), dtype)
     state = PlanningState(
