@@ -136,19 +136,26 @@ def bench_multiagent(batch=1024, num_agents=4):
         layout_tiles=np.ones((4, 4)), num_movers=num_agents, std_noise=1e-5, dtype=jnp.float32
     )
     state, obs, _ = jax.block_until_ready(planning.init_batch(config, params, jax.random.PRNGKey(0), batch))
-    step = multi_agent.make_batched_parallel_step(config, params)
+    inner = multi_agent.make_batched_parallel_step(config, params)
+
+    @jax.jit
+    def roll(state, key):
+        def body(carry, k):
+            s, = carry
+            a = jax.random.uniform(k, (batch, num_agents, 2), jnp.float32, -10.0, 10.0)
+            s, out = inner(s, a)
+            return (s,), out.reward.mean()
+        (s,), rs = jax.lax.scan(body, (state,), jax.random.split(key, ROLLOUT_T))
+        return s, rs
+
     key = jax.random.PRNGKey(1)
-
-    def actions(k):
-        return jax.random.uniform(k, (batch, num_agents, 2), jnp.float32, -10.0, 10.0)
-
-    state, out = jax.block_until_ready(step(state, actions(key)))  # compile
+    state, rs = jax.block_until_ready(roll(state, key))  # compile
     t0 = time.perf_counter()
-    for i in range(TIMED_CALLS * 4):
+    for _ in range(TIMED_CALLS):
         key, k = jax.random.split(key)
-        state, out = step(state, actions(k))
-    jax.block_until_ready(out.reward)
-    return batch * TIMED_CALLS * 4 / (time.perf_counter() - t0)
+        state, rs = roll(state, k)
+    jax.block_until_ready(rs)
+    return batch * ROLLOUT_T * TIMED_CALLS / (time.perf_counter() - t0)
 
 
 def bench_mixed(batch_each=2048):
@@ -162,21 +169,26 @@ def bench_mixed(batch_each=2048):
     qs, qobs, _ = pushing.init_batch(qc, qp, jax.random.PRNGKey(1), batch_each)
 
     @jax.jit
-    def step(ps, qs, key):
-        k1, k2, key = jax.random.split(key, 3)
-        pa = jax.random.uniform(k1, (batch_each, 2), jnp.float32, -10.0, 10.0)
-        qa = jax.random.uniform(k2, (batch_each, 2), jnp.float32, -10.0, 10.0)
-        ps, _, pr, *_ = planning.batched_step_autoreset(pc, pp, ps, pa)
-        qs, _, qr, *_ = pushing.batched_step_autoreset(qc, qp, qs, qa)
-        return ps, qs, key, pr.mean() + qr.mean()
+    def roll(ps, qs, key):
+        def body(carry, k):
+            ps, qs = carry
+            k1, k2 = jax.random.split(k)
+            pa = jax.random.uniform(k1, (batch_each, 2), jnp.float32, -10.0, 10.0)
+            qa = jax.random.uniform(k2, (batch_each, 2), jnp.float32, -10.0, 10.0)
+            ps, _, pr, *_ = planning.batched_step_autoreset(pc, pp, ps, pa)
+            qs, _, qr, *_ = pushing.batched_step_autoreset(qc, qp, qs, qa)
+            return (ps, qs), pr.mean() + qr.mean()
+        (ps, qs), ms = jax.lax.scan(body, (ps, qs), jax.random.split(key, ROLLOUT_T))
+        return ps, qs, ms
 
     key = jax.random.PRNGKey(2)
-    ps, qs, key, m = jax.block_until_ready(step(ps, qs, key))
+    ps, qs, ms = jax.block_until_ready(roll(ps, qs, key))
     t0 = time.perf_counter()
-    for _ in range(TIMED_CALLS * 4):
-        ps, qs, key, m = step(ps, qs, key)
-    jax.block_until_ready(m)
-    return 2 * batch_each * TIMED_CALLS * 4 / (time.perf_counter() - t0)
+    for _ in range(TIMED_CALLS):
+        key, k = jax.random.split(key)
+        ps, qs, ms = roll(ps, qs, k)
+    jax.block_until_ready(ms)
+    return 2 * batch_each * ROLLOUT_T * TIMED_CALLS / (time.perf_counter() - t0)
 
 
 def main() -> None:
