@@ -233,19 +233,9 @@ def reset(
     def accept_obj(xy):
         return jnp.linalg.norm(xy - mover_xy) > params.min_mo_dist
 
-    def cond(carry):
-        _, _, ok, trials = carry
-        return jnp.logical_and(~ok, trials < config.max_reset_trials)
+    from gymnasium_planar_robotics_tpu.models.planning import _rejection_sample
 
-    def body(carry):
-        k, _, _, trials = carry
-        k, sub = jax.random.split(k)
-        s = sample_obj(sub)
-        return k, s, accept_obj(s), trials + 1
-
-    k0, first = jax.random.split(k_obj)
-    init = sample_obj(first)
-    _, obj_xy, obj_ok, trials = jax.lax.while_loop(cond, body, (k0, init, accept_obj(init), jnp.asarray(1, jnp.int32)))
+    obj_xy, obj_ok, trials = _rejection_sample(k_obj, sample_obj, accept_obj, config.max_reset_trials)
 
     if object_goal_xy_pos is None:
         goal = jax.random.uniform(k_goal, (2,), dtype, params.obj_min_xy, params.obj_max_xy)

@@ -249,10 +249,16 @@ def test_autoreset_timelimit():
     state, obs, _ = planning.reset(config, params, key)
     step = jax.jit(lambda s, a: planning.step_autoreset(config, params, s, a))
     action = jnp.zeros(2)
-    for t in range(1, 120):
+    prev_steps = int(state.steps)
+    saw_truncation = False
+    for t in range(1, 160):
         state, obs, rew, term, trunc, info = step(state, action)
-        if t % config.max_episode_steps == 0 and not bool(term):
-            assert bool(trunc), f'expected truncation at step {t}'
-            assert int(state.steps) == 0, 'autoreset should restart the episode'
         if bool(term) or bool(trunc):
-            assert int(state.steps) == 0
+            assert int(state.steps) == 0, 'autoreset should restart the episode'
+        else:
+            assert int(state.steps) == prev_steps + 1
+        if prev_steps + 1 == config.max_episode_steps and not bool(term):
+            assert bool(trunc), f'expected truncation at episode step {prev_steps + 1} (t={t})'
+            saw_truncation = True
+        prev_steps = int(state.steps)
+    assert saw_truncation, 'no episode ever reached the time limit'
