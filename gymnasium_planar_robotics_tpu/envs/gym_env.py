@@ -57,6 +57,9 @@ class _JaxGymEnv(gym.Env):
         self._state = None
         self._viewer = None
         self._step_jit = jax.jit(lambda s, a: model.step(config, params, s, a))
+        # plain (no-override) resets go through jit; option-overridden resets
+        # (rare, shape-changing) fall back to eager in _reset_core
+        self._reset_jit = jax.jit(lambda k: model.reset(config, params, k))
 
     # -- Gymnasium API ------------------------------------------------------
 
@@ -138,7 +141,7 @@ class PlanningGymEnv(_JaxGymEnv):
         super().__init__(planning_model, config, params, render_mode)
 
         m = config.num_movers
-        hi = np.asarray(params.grid.max_xy)
+        hi = np.asarray(params.grid.workspace_max_xy)
         low_goals = np.zeros(m * 2)
         high_goals = np.tile(hi, m)
         jerk_dims = (1 + int(config.learn_jerk)) * 2
@@ -155,6 +158,8 @@ class PlanningGymEnv(_JaxGymEnv):
     def _reset_core(self, key, options):
         # start/goal overrides: counterpart of the reference base class's
         # initial_mover_{start,goal}_xy_pos kwargs (basic_envs.py:176-177)
+        if options.get('mover_start_xy_pos') is None and options.get('mover_goal_xy_pos') is None:
+            return self._reset_jit(key)
         return planning_model.reset(
             self.config,
             self.params,
@@ -201,7 +206,7 @@ class PushingGymEnv(_JaxGymEnv):
         config, params = pushing_model.make_pushing_env(dtype=dtype, **kwargs)
         super().__init__(pushing_model, config, params, render_mode)
 
-        hi = np.asarray(params.grid.max_xy)
+        hi = np.asarray(params.grid.workspace_max_xy)
         jerk_dims = (2 + int(config.learn_jerk)) * 2
         self.observation_space = gym.spaces.Dict(
             {
@@ -214,6 +219,8 @@ class PushingGymEnv(_JaxGymEnv):
         self.action_space = gym.spaces.Box(-limit, limit, shape=(2,), dtype=np.float64)
 
     def _reset_core(self, key, options):
+        if options.get('mover_start_xy_pos') is None and options.get('object_goal_xy_pos') is None:
+            return self._reset_jit(key)
         return pushing_model.reset(
             self.config,
             self.params,

@@ -51,9 +51,10 @@ class PlanningParallelEnv(ParallelEnv):
         self._state = None
         self._viewer = None
         self._step_jit = jax.jit(lambda s, a: planning_model.step(config, params, s, a))
+        self._reset_jit = jax.jit(lambda k: planning_model.reset(config, params, k))
 
         limit = float(params.j_max if config.learn_jerk else params.a_max)
-        hi = np.asarray(params.grid.max_xy)
+        hi = np.asarray(params.grid.workspace_max_xy)
         jerk_dims = (1 + int(config.learn_jerk)) * 2
         self._obs_space = gym.spaces.Dict(
             {
@@ -74,9 +75,11 @@ class PlanningParallelEnv(ParallelEnv):
         if seed is not None:
             self._key = jax.random.PRNGKey(seed)
         elif getattr(self, '_key', None) is None:
-            self._key = jax.random.PRNGKey(0)
+            import secrets
+
+            self._key = jax.random.PRNGKey(secrets.randbits(31))
         self._key, sub = jax.random.split(self._key)
-        self._state, obs, info = planning_model.reset(self.config, self.params, sub)
+        self._state, obs, info = self._reset_jit(sub)
         self.agents = list(self.possible_agents)
         return self._split_obs(obs), {a: self._shared_info(info) for a in self.agents}
 
@@ -106,11 +109,14 @@ class PlanningParallelEnv(ParallelEnv):
             rewards = {a: float(-(~reached[i]).astype(float)) for i, a in enumerate(self.possible_agents)}
 
         term = bool(terminated)
+        # the Gymnasium registrations cap episodes at 50 steps via TimeLimit;
+        # the parallel API carries the same limit through truncations
+        trunc = (not term) and int(self._state.steps) >= self.config.max_episode_steps
         terminations = {a: term for a in self.possible_agents}
-        truncations = {a: False for a in self.possible_agents}
+        truncations = {a: trunc for a in self.possible_agents}
         infos = {a: self._shared_info(info) for a in self.possible_agents}
         observations = self._split_obs(obs)
-        if term:
+        if term or trunc:
             self.agents = []
         return observations, rewards, terminations, truncations, infos
 

@@ -23,8 +23,16 @@ from gymnasium_planar_robotics_tpu.models import planning as planning_model
 from gymnasium_planar_robotics_tpu.models import pushing as pushing_model
 
 
+def _autoreset_mode():
+    # standard vector wrappers assert isinstance(..., AutoresetMode)
+    try:
+        return gym.vector.AutoresetMode.SAME_STEP
+    except AttributeError:  # older gymnasium without the enum
+        return 'SameStep'
+
+
 class _JaxVectorEnv(gym.vector.VectorEnv):
-    metadata = {'autoreset_mode': 'SameStep'}
+    metadata = {'autoreset_mode': _autoreset_mode()}
 
     def __init__(self, model, config, params, num_envs: int, mesh=None):
         self._model = model
@@ -33,6 +41,7 @@ class _JaxVectorEnv(gym.vector.VectorEnv):
         self.num_envs = num_envs
         self._mesh = mesh
         self._state = None
+        self._key = None
 
         step = jax.vmap(model.step_autoreset, in_axes=(None, None, 0, 0))
         if mesh is None:
@@ -45,8 +54,16 @@ class _JaxVectorEnv(gym.vector.VectorEnv):
         self._reset_jit = jax.jit(lambda k: jax.vmap(lambda kk: model.reset(config, params, kk))(k))
 
     def reset(self, seed: int | None = None, options: dict[str, Any] | None = None):
-        key = jax.random.PRNGKey(0 if seed is None else seed)
-        keys = jax.random.split(key, self.num_envs)
+        if seed is not None:
+            self._key = jax.random.PRNGKey(seed)
+        elif self._key is None:
+            # Gymnasium semantics: unseeded resets continue a nondeterministic
+            # stream, they do not replay a fixed one
+            import secrets
+
+            self._key = jax.random.PRNGKey(secrets.randbits(31))
+        self._key, sub = jax.random.split(self._key)
+        keys = jax.random.split(sub, self.num_envs)
         self._state, obs, info = self._reset_jit(keys)
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -60,7 +77,7 @@ class _JaxVectorEnv(gym.vector.VectorEnv):
         )
         return (
             self._np(obs),
-            np.asarray(reward, dtype=np.float64),
+            np.asarray(reward),
             np.asarray(terminated),
             np.asarray(truncated),
             self._np(info),
@@ -77,21 +94,25 @@ class _JaxVectorEnv(gym.vector.VectorEnv):
 
 
 class PlanningVectorEnv(_JaxVectorEnv):
-    def __init__(self, num_envs: int, layout_tiles=None, num_movers: int = 1, mesh=None, dtype=jnp.float32, **kwargs):
+    def __init__(self, num_envs: int, layout_tiles=None, num_movers: int = 1, mesh=None, dtype=None, **kwargs):
+        from gymnasium_planar_robotics_tpu.envs.gym_env import _default_dtype
+
+        dtype = _default_dtype(dtype) if dtype is None else dtype
         layout_tiles = np.ones((3, 3)) if layout_tiles is None else np.asarray(layout_tiles)
         config, params = planning_model.make_planning_env(
             layout_tiles=layout_tiles, num_movers=num_movers, dtype=dtype, **kwargs
         )
         super().__init__(planning_model, config, params, num_envs, mesh)
         m = config.num_movers
+        space_dtype = np.dtype(np.asarray(params.v_max).dtype)
         limit = float(params.j_max if config.learn_jerk else params.a_max)
-        hi = np.asarray(params.grid.max_xy)
+        hi = np.asarray(params.grid.workspace_max_xy)
         jerk_dims = (1 + int(config.learn_jerk)) * 2
         self.single_observation_space = gym.spaces.Dict(
             {
-                'observation': gym.spaces.Box(-np.inf, np.inf, shape=(m * jerk_dims,), dtype=np.float64),
-                'achieved_goal': gym.spaces.Box(np.zeros(m * 2), np.tile(hi, m), dtype=np.float64),
-                'desired_goal': gym.spaces.Box(np.zeros(m * 2), np.tile(hi, m), dtype=np.float64),
+                'observation': gym.spaces.Box(-np.inf, np.inf, shape=(m * jerk_dims,), dtype=space_dtype),
+                'achieved_goal': gym.spaces.Box(np.zeros(m * 2), np.tile(hi, m), dtype=space_dtype),
+                'desired_goal': gym.spaces.Box(np.zeros(m * 2), np.tile(hi, m), dtype=space_dtype),
             }
         )
         self.single_action_space = gym.spaces.Box(-limit, limit, shape=(m * 2,), dtype=np.float64)
@@ -100,17 +121,21 @@ class PlanningVectorEnv(_JaxVectorEnv):
 
 
 class PushingVectorEnv(_JaxVectorEnv):
-    def __init__(self, num_envs: int, mesh=None, dtype=jnp.float32, **kwargs):
+    def __init__(self, num_envs: int, mesh=None, dtype=None, **kwargs):
+        from gymnasium_planar_robotics_tpu.envs.gym_env import _default_dtype
+
+        dtype = _default_dtype(dtype) if dtype is None else dtype
         config, params = pushing_model.make_pushing_env(dtype=dtype, **kwargs)
         super().__init__(pushing_model, config, params, num_envs, mesh)
+        space_dtype = np.dtype(np.asarray(params.v_max).dtype)
         limit = float(params.j_max if config.learn_jerk else params.a_max)
-        hi = np.asarray(params.grid.max_xy)
+        hi = np.asarray(params.grid.workspace_max_xy)
         jerk_dims = (2 + int(config.learn_jerk)) * 2
         self.single_observation_space = gym.spaces.Dict(
             {
-                'observation': gym.spaces.Box(-np.inf, np.inf, shape=(jerk_dims,), dtype=np.float64),
-                'achieved_goal': gym.spaces.Box(np.zeros(2), hi, dtype=np.float64),
-                'desired_goal': gym.spaces.Box(np.zeros(2), hi, dtype=np.float64),
+                'observation': gym.spaces.Box(-np.inf, np.inf, shape=(jerk_dims,), dtype=space_dtype),
+                'achieved_goal': gym.spaces.Box(np.zeros(2), hi, dtype=space_dtype),
+                'desired_goal': gym.spaces.Box(np.zeros(2), hi, dtype=space_dtype),
             }
         )
         self.single_action_space = gym.spaces.Box(-limit, limit, shape=(2,), dtype=np.float64)

@@ -8,37 +8,12 @@ an array pytree, so everything composes with ``jit``/``vmap``/``shard_map``.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from gymnasium_planar_robotics_tpu.ops import collision, walls
 from gymnasium_planar_robotics_tpu.ops.grid import TileGrid
 
 IDENTITY_QUAT = (1.0, 0.0, 0.0, 0.0)
-
-
-def noisy_xy_quat(
-    key: jax.Array, xy: jnp.ndarray, std_pos: jnp.ndarray, dtype, with_quat: bool = True
-) -> tuple[jnp.ndarray, jnp.ndarray | None]:
-    """(x, y) and quaternion with Gaussian sensor noise applied.
-
-    The reference draws noise on the full 7-dof qpos including the quaternion
-    (basic_envs.py:828); movers never rotate in the shipped envs so the true
-    quaternion is identity, and the noisy one is identity + noise (normalized
-    downstream by ``get_2D_rect_vertices``).  Components the caller discards
-    are not drawn at all — our threefry streams are keyed per call site, so
-    only the distribution of *consumed* values must match, and skipping the
-    dead draws removes ~60% of the RNG work in the hot loop.  ``with_quat``
-    False (circle collision shapes ignore orientation) returns quat None.
-    """
-    m = xy.shape[0]
-    n = 6 if with_quat else 2
-    noise = jax.random.normal(key, (m, n), dtype) * std_pos
-    noisy_xy = xy + noise[:, :2]
-    if not with_quat:
-        return noisy_xy, None
-    quat = jnp.asarray(IDENTITY_QUAT, dtype) + noise[:, 2:]
-    return noisy_xy, quat
 
 
 def wall_collision_any(

@@ -156,7 +156,8 @@ def make_planning_env(
     validation.check_mover_config(num_movers, mover_size, mover_mass, initial_mover_zpos)
     validation.check_collision_params(c_shape, np.asarray(c_size), mover_size, mover_shape)
 
-    # sampling bounds: grid bbox shrunk by the full safety margin
+    # sampling bounds: the reference's workspace (max tile center +
+    # tile_size/2) shrunk by the full safety margin
     # (benchmark_planning_env.py:262-267; for 'box' the margin is the 2-vector)
     if c_shape == 'circle':
         margin = np.asarray(c_size_in).reshape(-1)[0] + c_offset + c_offset_wall
@@ -165,8 +166,8 @@ def make_planning_env(
         margin = np.asarray(c_size_in).reshape(-1, 2)[0] + c_offset + c_offset_wall
     hi = np.array(
         [
-            layout_tiles.shape[0] * 2 * tile_size[0],
-            layout_tiles.shape[1] * 2 * tile_size[1],
+            (2 * layout_tiles.shape[0] - 1) * tile_size[0] + tile_size[0] / 2,
+            (2 * layout_tiles.shape[1] - 1) * tile_size[1] + tile_size[1] / 2,
         ]
     )
 
@@ -534,23 +535,24 @@ def step_autoreset(
     reset_key, carry_key = jax.random.split(new_state.key)
     reset_state, reset_obs, _ = reset(config, params, reset_key)
 
-    def pick(a, b):
-        return jnp.where(jnp.reshape(done, (1,) * a.ndim), b, a) if a.ndim else jnp.where(done, b, a)
-
-    kept = PlanningState(
-        pos=pick(new_state.pos, reset_state.pos),
-        vel=pick(new_state.vel, reset_state.vel),
-        acc=pick(new_state.acc, reset_state.acc),
-        act=pick(new_state.act, reset_state.act),
-        goals=pick(new_state.goals, reset_state.goals),
-        key=jnp.where(done, reset_state.key, carry_key),
-        steps=jnp.where(done, reset_state.steps, new_state.steps),
-    )
-    final_obs = obs
-    out_obs = {k: pick(v, reset_obs[k]) for k, v in obs.items()}
+    kept = autoreset_select(done, new_state, reset_state, carry_key)
+    out_obs = jax.tree_util.tree_map(lambda a, b: _where_done(done, b, a), obs, reset_obs)
     info = dict(info)
-    info['final_observation'] = final_obs
+    info['final_observation'] = obs
     return kept, out_obs, reward, terminated, truncated, info
+
+
+def _where_done(done, if_done, if_not):
+    """Broadcast the scalar done flag over an arbitrary-rank leaf."""
+    return jnp.where(jnp.reshape(done, (1,) * if_not.ndim) if if_not.ndim else done, if_done, if_not)
+
+
+def autoreset_select(done, stepped_state, reset_state, carry_key):
+    """Replace done envs' state with the freshly reset one (pytree-generic, so
+    new state fields cannot silently escape auto-reset), keeping the RNG key
+    chain: continuing envs advance to ``carry_key``."""
+    kept = jax.tree_util.tree_map(lambda a, b: _where_done(done, b, a), stepped_state, reset_state)
+    return dataclasses.replace(kept, key=jnp.where(done, reset_state.key, carry_key))
 
 
 def init_batch(config: PlanningConfig, params: PlanningParams, key: jax.Array, batch: int):

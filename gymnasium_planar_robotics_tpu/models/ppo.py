@@ -87,17 +87,29 @@ class Transition(NamedTuple):
     logp: jnp.ndarray  # [B]
     value: jnp.ndarray  # [B]
     reward: jnp.ndarray  # [B]
-    done: jnp.ndarray  # [B]
+    terminated: jnp.ndarray  # [B]
+    truncated: jnp.ndarray  # [B]
+    final_value: jnp.ndarray  # [B] V(final_observation) — the bootstrap at truncations
 
 
 def compute_gae(traj: Transition, last_value: jnp.ndarray, gamma: float, lam: float):
-    """Generalized advantage estimation over a [T, B] trajectory via reverse scan."""
+    """GAE over a [T, B] trajectory via reverse scan.
+
+    Truncation is NOT termination: a 50-step time limit ends the episode
+    without zeroing future value, so truncated steps bootstrap with
+    V(final_observation) (the state the episode would have continued from),
+    while terminated steps bootstrap with 0.  The advantage chain still cuts
+    at every episode boundary (auto-reset replaces the next state with a new
+    episode's)."""
 
     def body(carry, tr):
         gae, next_value = carry
-        nonterminal = 1.0 - tr.done.astype(tr.value.dtype)
-        delta = tr.reward + gamma * next_value * nonterminal - tr.value
-        gae = delta + gamma * lam * nonterminal * gae
+        term = tr.terminated.astype(tr.value.dtype)
+        trunc = tr.truncated.astype(tr.value.dtype)
+        episode_continues = 1.0 - term - trunc + term * trunc  # 1 - (term | trunc)
+        bootstrap = (1.0 - term) * jnp.where(tr.truncated, tr.final_value, next_value)
+        delta = tr.reward + gamma * bootstrap - tr.value
+        gae = delta + gamma * lam * episode_continues * gae
         return (gae, tr.value), gae
 
     (_, _), advantages = jax.lax.scan(
@@ -147,13 +159,16 @@ def make_train_step(
             env_config, env_params, env_state, action
         )
         next_obs_vec = obs_to_vec(obs)
+        _, _, final_value = apply(params, obs_to_vec(info['final_observation']))
         tr = Transition(
             obs=obs_vec,
             raw_action=raw,
             logp=logp,
             value=value,
             reward=reward.astype(jnp.float32),
-            done=(terminated | truncated),
+            terminated=terminated,
+            truncated=truncated,
+            final_value=final_value,
         )
         return (env_state, next_obs_vec, params, key), tr
 
@@ -181,7 +196,7 @@ def make_train_step(
         metrics = {
             'loss': losses[-1],
             'reward_mean': traj.reward.mean(),
-            'done_rate': traj.done.astype(jnp.float32).mean(),
+            'done_rate': (traj.terminated | traj.truncated).astype(jnp.float32).mean(),
         }
         return (env_state, obs_vec, params, opt_state, key), metrics
 

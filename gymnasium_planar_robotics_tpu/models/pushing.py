@@ -141,7 +141,9 @@ def make_pushing_env(
             float(np.linalg.norm(object_half + mover_size[:2])),
             float(np.linalg.norm(np.asarray(c_size_in).reshape(-1, 2)[0] + c_offset)),
         )
-    hi = np.array([0.72, 0.72])
+    # the reference's workspace bound: max tile center + tile_size/2 = 0.66 on
+    # the fixed 3x3 table (benchmark_pushing_env.py:233, 252-254)
+    hi = np.array([5 * tile_size[0] + tile_size[0] / 2, 5 * tile_size[1] + tile_size[1] / 2])
 
     config = PushingConfig(
         num_cycles=num_cycles,
@@ -381,23 +383,12 @@ def step_autoreset(config: PushingConfig, params: PushingParams, state: PushingS
     reset_key, carry_key = jax.random.split(new_state.key)
     reset_state, reset_obs, _ = reset(config, params, reset_key)
 
-    def pick(a, b):
-        return jnp.where(jnp.reshape(done, (1,) * a.ndim) if a.ndim else done, b, a)
+    from gymnasium_planar_robotics_tpu.models.planning import _where_done, autoreset_select
 
-    kept = PushingState(
-        pos=pick(new_state.pos, reset_state.pos),
-        vel=pick(new_state.vel, reset_state.vel),
-        acc=pick(new_state.acc, reset_state.acc),
-        act=pick(new_state.act, reset_state.act),
-        obj_pos=pick(new_state.obj_pos, reset_state.obj_pos),
-        obj_vel=pick(new_state.obj_vel, reset_state.obj_vel),
-        goal=pick(new_state.goal, reset_state.goal),
-        key=jnp.where(done, reset_state.key, carry_key),
-        steps=jnp.where(done, reset_state.steps, new_state.steps),
-    )
+    kept = autoreset_select(done, new_state, reset_state, carry_key)
+    out_obs = jax.tree_util.tree_map(lambda a, b: _where_done(done, b, a), obs, reset_obs)
     info = dict(info)
     info['final_observation'] = obs
-    out_obs = {k: pick(v, reset_obs[k]) for k, v in obs.items()}
     return kept, out_obs, reward, terminated, truncated, info
 
 

@@ -60,6 +60,19 @@ class TileGrid:
             [self.tile_x[-1, -1] + self.tile_size[0], self.tile_y[-1, -1] + self.tile_size[1]]
         )
 
+    @property
+    def workspace_max_xy(self) -> jax.Array:
+        """The reference's workspace bound: max tile center + tile_size/2
+        (benchmark_planning_env.py:243-244, 264-266 — note: half of the
+        *half*-extent, i.e. 0.66 on a 3x3 table whose bbox ends at 0.72).
+        Sampling regions and goal-space highs must use this, not the bbox."""
+        return jnp.stack(
+            [
+                self.tile_x[-1, -1] + self.tile_size[0] / 2,
+                self.tile_y[-1, -1] + self.tile_size[1] / 2,
+            ]
+        )
+
 
 # order of the four diagonal directions in `corner_missing`
 CORNER_DIRS = ((1, -1), (1, 1), (-1, -1), (-1, 1))

@@ -91,11 +91,21 @@ class TrajWriter:
             self._native = _LIB.ts_writer_open(str(self._dir).encode(), shard_bytes, max_queue_bytes)
         else:
             self._shard_bytes = shard_bytes
+            # resume from an existing index: shards open in append mode, so
+            # offsets must continue from the last indexed frame
             self._shard_id = 0
             self._shard_used = 0
             self._count = 0
-            self._shard = open(self._dir / f'shard_{0:06d}.bin', 'ab')
-            self._index = open(self._dir / 'index.bin', 'ab')
+            idx = self._dir / 'index.bin'
+            if idx.exists():
+                raw = idx.read_bytes()
+                for i in range(0, len(raw), 20):
+                    shard, off, length = struct.unpack_from('<IQQ', raw, i)
+                    self._shard_id = shard
+                    self._shard_used = off + 12 + length
+                    self._count += 1
+            self._shard = open(self._dir / f'shard_{self._shard_id:06d}.bin', 'ab')
+            self._index = open(idx, 'ab')
 
     def append(self, frame: bytes) -> None:
         if self._native is not None:

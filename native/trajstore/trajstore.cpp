@@ -63,16 +63,35 @@ struct Writer {
   std::atomic<uint64_t> frames_written{0};
   std::atomic<int> error{0};
 
-  void open_shard() {
+  void open_shard(bool fresh = false) {
     if (shard_file) fclose(shard_file);
     char name[64];
     snprintf(name, sizeof(name), "/shard_%06u.bin", shard_id);
     shard_file = fopen((dir + name).c_str(), "ab");
-    shard_used = 0;
+    if (fresh) shard_used = 0;
     if (!shard_file) error.store(1);
   }
 
+  void restore_from_index() {
+    // Reopening an existing store must resume exactly where it left off:
+    // shard files are opened in append mode, so shard_id/shard_used have to
+    // reflect the last indexed frame or new index offsets point at the wrong
+    // file positions (silent corruption).
+    FILE* f = fopen((dir + "/index.bin").c_str(), "rb");
+    if (!f) return;
+    IndexRecord rec;
+    uint64_t n = 0;
+    while (fread(&rec, sizeof(rec), 1, f) == 1) {
+      shard_id = rec.shard;
+      shard_used = rec.offset + 12 + rec.length;
+      ++n;
+    }
+    fclose(f);
+    frames_written.store(n);
+  }
+
   void run() {
+    restore_from_index();
     open_shard();
     index_file = fopen((dir + "/index.bin").c_str(), "ab");
     if (!index_file) error.store(1);
@@ -90,7 +109,7 @@ struct Writer {
       if (error.load()) continue;
       if (shard_used > 0 && shard_used + f.data.size() > shard_bytes) {
         ++shard_id;
-        open_shard();
+        open_shard(/*fresh=*/true);
       }
       uint64_t off = shard_used;
       uint64_t len = f.data.size();

@@ -57,3 +57,27 @@ def test_writer_throughput_smoke(tmp_path):
             w.append(payload)
     with trajstore.TrajReader(tmp_path) as r:
         assert len(r) == 200
+
+
+def test_reopen_appends_correctly(tmp_path):
+    """Reopening an existing store must resume offsets, not corrupt them."""
+    with trajstore.TrajWriter(tmp_path) as w:
+        w.append(b'first-run-frame')
+    with trajstore.TrajWriter(tmp_path) as w:
+        w.append(b'second-run-frame')
+    assert w.frames_written == 2  # restored count + the new frame
+    with trajstore.TrajReader(tmp_path) as r:
+        assert len(r) == 2
+        assert r.get(0) == b'first-run-frame'
+        assert r.get(1) == b'second-run-frame'
+
+
+def test_reopen_python_fallback(tmp_path, monkeypatch):
+    monkeypatch.setattr(trajstore, '_LIB', None)
+    with trajstore.TrajWriter(tmp_path) as w:
+        w.append(b'aaa')
+    with trajstore.TrajWriter(tmp_path) as w:
+        w.append(b'bbbb')
+    monkeypatch.undo()
+    with trajstore.TrajReader(tmp_path) as r:
+        assert len(r) == 2 and r.get(0) == b'aaa' and r.get(1) == b'bbbb'
