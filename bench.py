@@ -136,24 +136,24 @@ def bench_multiagent(batch=1024, num_agents=4):
         layout_tiles=np.ones((4, 4)), num_movers=num_agents, std_noise=1e-5, dtype=jnp.float32
     )
     state, obs, _ = jax.block_until_ready(planning.init_batch(config, params, jax.random.PRNGKey(0), batch))
-    inner = multi_agent.make_batched_parallel_step(config, params)
+    inner = multi_agent.make_batched_parallel_step(config, params, jit=False)
 
     @jax.jit
     def roll(state, key):
+        key, sub = jax.random.split(key)
         def body(carry, k):
             s, = carry
             a = jax.random.uniform(k, (batch, num_agents, 2), jnp.float32, -10.0, 10.0)
             s, out = inner(s, a)
             return (s,), out.reward.mean()
-        (s,), rs = jax.lax.scan(body, (state,), jax.random.split(key, ROLLOUT_T))
-        return s, rs
+        (s,), rs = jax.lax.scan(body, (state,), jax.random.split(sub, ROLLOUT_T))
+        return s, key, rs
 
     key = jax.random.PRNGKey(1)
-    state, rs = jax.block_until_ready(roll(state, key))  # compile
+    state, key, rs = jax.block_until_ready(roll(state, key))  # compile
     t0 = time.perf_counter()
     for _ in range(TIMED_CALLS):
-        key, k = jax.random.split(key)
-        state, rs = roll(state, k)
+        state, key, rs = roll(state, key)
     jax.block_until_ready(rs)
     return batch * ROLLOUT_T * TIMED_CALLS / (time.perf_counter() - t0)
 
@@ -170,6 +170,7 @@ def bench_mixed(batch_each=2048):
 
     @jax.jit
     def roll(ps, qs, key):
+        key, sub = jax.random.split(key)
         def body(carry, k):
             ps, qs = carry
             k1, k2 = jax.random.split(k)
@@ -178,15 +179,14 @@ def bench_mixed(batch_each=2048):
             ps, _, pr, *_ = planning.batched_step_autoreset(pc, pp, ps, pa)
             qs, _, qr, *_ = pushing.batched_step_autoreset(qc, qp, qs, qa)
             return (ps, qs), pr.mean() + qr.mean()
-        (ps, qs), ms = jax.lax.scan(body, (ps, qs), jax.random.split(key, ROLLOUT_T))
-        return ps, qs, ms
+        (ps, qs), ms = jax.lax.scan(body, (ps, qs), jax.random.split(sub, ROLLOUT_T))
+        return ps, qs, key, ms
 
     key = jax.random.PRNGKey(2)
-    ps, qs, ms = jax.block_until_ready(roll(ps, qs, key))
+    ps, qs, key, ms = jax.block_until_ready(roll(ps, qs, key))
     t0 = time.perf_counter()
     for _ in range(TIMED_CALLS):
-        key, k = jax.random.split(key)
-        ps, qs, ms = roll(ps, qs, k)
+        ps, qs, key, ms = roll(ps, qs, key)
     jax.block_until_ready(ms)
     return 2 * batch_each * ROLLOUT_T * TIMED_CALLS / (time.perf_counter() - t0)
 

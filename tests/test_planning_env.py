@@ -178,6 +178,48 @@ def test_trajectory_match_vs_reference(learn_jerk, num_movers):
 
 
 @pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
+def test_trajectory_match_box_collision_shape():
+    """Box collision shapes: per-cycle wall/mover checks use the rotated-
+    rectangle path; trajectories and flags must still match the reference."""
+    import_reference()
+    from gymnasium_planar_robotics.envs.planning.benchmark_planning_env import BenchmarkPlanningEnv
+
+    layout = np.ones((4, 4))
+    cparams = {'shape': 'box', 'size': np.array([0.0775, 0.0775]), 'offset': 0.002, 'offset_wall': 0.001}
+    ref = BenchmarkPlanningEnv(
+        layout_tiles=layout, num_movers=2, show_2D_plot=False, std_noise=0.0,
+        render_mode=None, num_cycles=40, v_max=1.0, a_max=8.0, learn_jerk=False,
+        collision_params=cparams,
+    )
+    starts = np.array([[0.30, 0.30], [0.66, 0.66]])
+    goals = np.array([[0.80, 0.80], [0.20, 0.20]])
+    ref.goals = goals.copy()
+    ref.reload_model(mover_start_xy_pos=starts, mover_goal_xy_pos=goals)
+
+    config, params = planning.make_planning_env(
+        layout_tiles=layout, num_movers=2, std_noise=0.0, num_cycles=40,
+        v_max=1.0, a_max=8.0, collision_params=cparams, dtype=jnp.float64,
+    )
+    state = _state_from(config, params, starts, goals)
+    step = jax.jit(lambda s, a: planning.step(config, params, s, a))
+
+    # drive the movers toward each other: box-box collision must terminate at
+    # the same step with the same flags
+    action = np.array([6.0, 6.0, -6.0, -6.0])
+    for t in range(20):
+        ref_obs, ref_rew, ref_term, _, ref_info = ref.step(action)
+        state, obs, rew, term, _, info = step(state, action)
+        np.testing.assert_allclose(np.asarray(obs['achieved_goal']), ref_obs['achieved_goal'], atol=1e-9, err_msg=f't={t}')
+        assert float(rew) == float(ref_rew), f't={t}'
+        assert bool(term) == bool(ref_term), f't={t}'
+        assert bool(info['mover_collision']) == bool(ref_info['mover_collision']), f't={t}'
+        assert bool(info['wall_collision']) == bool(ref_info['wall_collision']), f't={t}'
+        if bool(ref_term):
+            break
+    assert bool(ref_term), 'setup never collided'
+
+
+@pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
 def test_collision_termination_matches_reference():
     """Two movers driven head-on: the latched early-stop must freeze state at
     the same cycle as the reference's mid-action break."""
