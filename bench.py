@@ -128,6 +128,39 @@ def _run_scaling() -> None:
     }))
 
 
+def bench_planning_fused(batch=BATCH):
+    """Planning with the fused Pallas mega-kernel (whole 40-cycle step in one
+    launch) + autoreset."""
+    from gymnasium_planar_robotics_tpu.models import planning
+
+    config, params = planning.make_planning_env(
+        layout_tiles=np.ones((3, 3)), num_movers=1, std_noise=1e-5, dtype=jnp.float32
+    )
+    state, obs, _ = jax.block_until_ready(planning.init_batch(config, params, jax.random.PRNGKey(0), batch))
+    fused = planning.make_fused_step_autoreset(config, params)
+
+    @jax.jit
+    def roll(state, key):
+        key, sub = jax.random.split(key)
+
+        def body(carry, k):
+            s, = carry
+            a = jax.random.uniform(k, (batch, 2), jnp.float32, -10.0, 10.0)
+            s, o, r, te, tr, i = fused(s, a)
+            return (s,), r.mean()
+
+        (s,), rs = jax.lax.scan(body, (state,), jax.random.split(sub, ROLLOUT_T))
+        return s, key, rs
+
+    key = jax.random.PRNGKey(1)
+    state, key, rs = jax.block_until_ready(roll(state, key))
+    t0 = time.perf_counter()
+    for _ in range(TIMED_CALLS):
+        state, key, rs = roll(state, key)
+    jax.block_until_ready(rs)
+    return batch * ROLLOUT_T * TIMED_CALLS / (time.perf_counter() - t0)
+
+
 def bench_multiagent(batch=1024, num_agents=4):
     """BASELINE config 4: PettingZoo-style parallel multi-agent, batched."""
     from gymnasium_planar_robotics_tpu.models import multi_agent, planning
@@ -207,6 +240,7 @@ def main() -> None:
         rows = [
             ('pushing 4096 envs', bench_pushing(4096), REF_PUSHING),
             ('planning 1-mover 4096 envs', bench_planning(4096, 1), REF_PLANNING_1),
+            ('planning 1-mover 4096 envs (pallas fused)', bench_planning_fused(4096), REF_PLANNING_1),
             ('planning 4-mover 256 envs', bench_planning(256, 4, np.ones((4, 4))), REF_PLANNING_4),
             ('multi-agent 4x1024 envs', bench_multiagent(1024, 4), REF_PLANNING_4),
             ('mixed planning+pushing 4096 envs', bench_mixed(2048), REF_PUSHING),

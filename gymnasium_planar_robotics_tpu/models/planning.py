@@ -516,6 +516,75 @@ def compute_reward(
 
 
 # ---------------------------------------------------------------------------
+# fused Pallas step (batched; 1 mover, circle shape)
+# ---------------------------------------------------------------------------
+
+
+def make_fused_step(config: PlanningConfig, params: PlanningParams, interpret: bool = False):
+    """Batched step with the whole cycle loop in one Pallas launch
+    (``ops/pallas_step``); signature matches ``batched_step``:
+    ``fused_step(state, action[B, M*2]) -> (state, obs, reward, term, trunc,
+    info)``.  Falls back configs are the caller's job — check
+    ``pallas_step.supports(config, params)`` first."""
+    from gymnasium_planar_robotics_tpu.ops import pallas_step
+
+    fused = pallas_step.make_fused_planning_cycles(config, params, interpret=interpret)
+    m = config.num_movers
+    limit = params.j_max if config.learn_jerk else params.a_max
+
+    def step_fn(state: PlanningState, action: jnp.ndarray):
+        b = state.pos.shape[0]
+        dtype = state.pos.dtype
+        action = jnp.clip(jnp.asarray(action, dtype).reshape(b, m, 2), -limit, limit)
+
+        # one key per batched step drives the kernel's hardware PRNG; per-env
+        # obs noise still uses the per-env keys
+        keys = jax.vmap(lambda k: jax.random.split(k, 3))(state.key)  # [B, 3, 2]
+        new_keys = keys[:, 0]
+        seed = jax.random.randint(jax.random.fold_in(state.key[0], 7), (), 0, 2**31 - 1)
+
+        pos, vel, acc, act, wall = fused(state.pos, state.vel, state.acc, state.act, action[:, 0], seed)
+        new_state = PlanningState(
+            pos=pos.astype(dtype), vel=vel.astype(dtype), acc=acc.astype(dtype),
+            act=act.astype(dtype), goals=state.goals, key=new_keys,
+            steps=state.steps + 1,
+        )
+        mover = jnp.zeros((b,), jnp.bool_)
+        obs = jax.vmap(partial(_get_obs, config, params))(new_state, keys[:, 1])
+        info = jax.vmap(partial(_get_info, config, params))(obs, mover, wall)
+        reward = compute_reward(config, params, obs['achieved_goal'], obs['desired_goal'], mover, wall)
+        terminated = jnp.abs(reward) == REWARD_SUCCESS
+        truncated = jnp.zeros((b,), jnp.bool_)
+        return new_state, obs, reward, terminated, truncated, info
+
+    return step_fn
+
+
+def make_fused_step_autoreset(config: PlanningConfig, params: PlanningParams, interpret: bool = False):
+    """Fused Pallas step + in-place episode restart (batched signature like
+    ``batched_step_autoreset``)."""
+    fused = make_fused_step(config, params, interpret=interpret)
+    batched_reset = jax.vmap(partial(reset, config, params))
+
+    def step_fn(state: PlanningState, action: jnp.ndarray):
+        new_state, obs, reward, terminated, _, info = fused(state, action)
+        truncated = new_state.steps >= config.max_episode_steps
+        done = terminated | truncated
+
+        keys = jax.vmap(jax.random.split)(new_state.key)  # [B, 2, 2]
+        reset_state, reset_obs, _ = batched_reset(keys[:, 0])
+        kept = jax.vmap(autoreset_select)(done, new_state, reset_state, keys[:, 1])
+        out_obs = jax.tree_util.tree_map(
+            lambda a, b: jax.vmap(_where_done)(done, b, a), obs, reset_obs
+        )
+        info = dict(info)
+        info['final_observation'] = obs
+        return kept, out_obs, reward, terminated, truncated, info
+
+    return step_fn
+
+
+# ---------------------------------------------------------------------------
 # auto-reset wrapper (the batch/throughput entry point)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,127 @@
+"""Fused Pallas step vs. the XLA scan path (interpret mode on CPU).
+
+Bit-exact state match at std_noise=0 (same arithmetic, noise unused);
+distributional match of collision behavior at std_noise>0.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gymnasium_planar_robotics_tpu.models import planning
+from gymnasium_planar_robotics_tpu.ops import pallas_step
+
+
+def _mk(std=0.0, learn_jerk=False, layout=None):
+    return planning.make_planning_env(
+        np.ones((3, 3)) if layout is None else layout,
+        1,
+        std_noise=std,
+        num_cycles=40,
+        v_max=1.0,
+        a_max=8.0,
+        j_max=80.0,
+        learn_jerk=learn_jerk,
+        dtype=jnp.float32,
+    )
+
+
+def _random_states(config, params, b, seed=0):
+    state, obs, _ = planning.init_batch(config, params, jax.random.PRNGKey(seed), b)
+    return state
+
+
+@pytest.mark.parametrize('learn_jerk', [False, True])
+def test_fused_matches_xla_at_zero_noise(learn_jerk):
+    config, params = _mk(std=0.0, learn_jerk=learn_jerk)
+    assert pallas_step.supports(config, params)
+    b = 256
+    state = _random_states(config, params, b)
+    limit = 80.0 if learn_jerk else 8.0
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (b, 2), jnp.float32, -limit, limit)
+
+    xla_state, _, xla_rew, xla_term, _, xla_info = planning.batched_step(config, params, state, actions)
+    fused_step = planning.make_fused_step(config, params, interpret=True)
+    f_state, _, f_rew, f_term, _, f_info = fused_step(state, actions)
+
+    np.testing.assert_array_equal(np.asarray(f_state.pos), np.asarray(xla_state.pos))
+    np.testing.assert_array_equal(np.asarray(f_state.vel), np.asarray(xla_state.vel))
+    np.testing.assert_array_equal(np.asarray(f_state.acc), np.asarray(xla_state.acc))
+    np.testing.assert_array_equal(np.asarray(f_info['wall_collision']), np.asarray(xla_info['wall_collision']))
+    # rewards use noisy obs positions drawn from different streams — at std=0
+    # they are identical
+    np.testing.assert_array_equal(np.asarray(f_rew), np.asarray(xla_rew))
+
+
+def test_fused_matches_xla_multi_step_holed_layout():
+    layout = np.array([[1, 1, 1], [1, 1, 0], [1, 1, 1]])
+    config, params = _mk(std=0.0, layout=layout)
+    b = 128
+    state = _random_states(config, params, b, seed=3)
+    fused_step = planning.make_fused_step(config, params, interpret=True)
+    key = jax.random.PRNGKey(5)
+    for t in range(5):
+        key, k = jax.random.split(key)
+        actions = jax.random.uniform(k, (b, 2), jnp.float32, -8.0, 8.0)
+        xs, _, xr, xt, _, xi = planning.batched_step(config, params, state, actions)
+        fs, _, fr, ft, _, fi = fused_step(state, actions)
+        np.testing.assert_array_equal(np.asarray(fs.pos), np.asarray(xs.pos), err_msg=f't={t}')
+        np.testing.assert_array_equal(
+            np.asarray(fi['wall_collision']), np.asarray(xi['wall_collision']), err_msg=f't={t}'
+        )
+        # advance along the XLA trajectory (keys differ in the fused state)
+        state = xs
+
+
+def test_fused_noise_distribution_matches():
+    """With std>0 the streams differ; wall-collision rates and mean speeds
+    must agree distributionally."""
+    config, params = _mk(std=3e-3)
+    b = 1024
+    state = _random_states(config, params, b, seed=7)
+    fused_step = planning.make_fused_step(config, params, interpret=True)
+    actions = jnp.tile(jnp.asarray([6.0, 0.0], jnp.float32), (b, 1))  # drive at the wall
+
+    walls_x, walls_f, speed_x, speed_f = [], [], [], []
+    sx = sf = state
+    for t in range(6):
+        sx2, _, _, _, _, ix = planning.batched_step(config, params, sx, actions)
+        sf2, _, _, _, _, iff = fused_step(sf, actions)
+        walls_x.append(np.asarray(ix['wall_collision']).mean())
+        walls_f.append(np.asarray(iff['wall_collision']).mean())
+        speed_x.append(np.linalg.norm(np.asarray(sx2.vel), axis=-1).mean())
+        speed_f.append(np.linalg.norm(np.asarray(sf2.vel), axis=-1).mean())
+        sx, sf = sx2, sf2
+    np.testing.assert_allclose(np.mean(speed_x), np.mean(speed_f), rtol=0.02)
+    np.testing.assert_allclose(np.mean(walls_x), np.mean(walls_f), atol=0.03)
+
+
+def test_supports_gate():
+    config, params = planning.make_planning_env(np.ones((3, 3)), 2, dtype=jnp.float32)
+    assert not pallas_step.supports(config, params)  # M=2
+    config, params = planning.make_planning_env(
+        np.ones((3, 3)), 1, dtype=jnp.float32, collision_params={'shape': 'box', 'size': np.array([0.07, 0.07])}
+    )
+    assert not pallas_step.supports(config, params)  # box shape
+
+
+def test_fused_autoreset_restarts_episodes():
+    config, params = _mk(std=1e-5)
+    b = 128
+    state = _random_states(config, params, b, seed=11)
+    step = planning.make_fused_step_autoreset(config, params, interpret=True)
+    actions = jnp.tile(jnp.asarray([8.0, 0.0], jnp.float32), (b, 1))  # slam the wall
+    terminated_any = False
+    for _ in range(8):
+        state, obs, rew, term, trunc, info = step(state, actions)
+        terminated_any = terminated_any or bool(np.asarray(term).any())
+        done = np.asarray(term) | np.asarray(trunc)
+        assert (np.asarray(state.steps)[done] == 0).all()
+        # restarted envs are inside the sampling region again
+        pos = np.asarray(state.pos)[done]
+        if pos.size:
+            assert (pos >= np.asarray(params.min_xy) - 1e-6).all()
+            assert (pos <= np.asarray(params.max_xy) + 1e-6).all()
+    assert terminated_any, 'wall slam never terminated an episode'
