@@ -57,11 +57,38 @@ def _throughput(config, params, step_autoreset_fn, init_batch_fn, action_dim, ba
     return batch * ROLLOUT_T * TIMED_CALLS / (time.perf_counter() - t0)
 
 
-def bench_pushing(batch=BATCH):
+def bench_pushing(batch=BATCH, fused=True):
     from gymnasium_planar_robotics_tpu.models import pushing
 
     config, params = pushing.make_pushing_env(std_noise=1e-5, dtype=jnp.float32)
-    return _throughput(config, params, pushing.step_autoreset, pushing.init_batch, 2, batch)
+    if not fused:
+        return _throughput(config, params, pushing.step_autoreset, pushing.init_batch, 2, batch)
+
+    state, obs, _ = jax.block_until_ready(pushing.init_batch(config, params, jax.random.PRNGKey(0), batch))
+    step = pushing.make_fused_step_autoreset(config, params)
+
+    @jax.jit
+    def roll(state, key):
+        key, sub = jax.random.split(key)
+
+        def body(carry, k):
+            s, = carry
+            a = jax.random.uniform(k, (batch, 2), jnp.float32, -10.0, 10.0)
+            s, o, r, te, tr, i = step(s, a)
+            return (s,), r.mean()
+
+        (s,), rs = jax.lax.scan(body, (state,), jax.random.split(sub, ROLLOUT_T))
+        return s, key, rs
+
+    key = jax.random.PRNGKey(1)
+    t_c = time.perf_counter()
+    state, key, rs = jax.block_until_ready(roll(state, key))
+    _log(f'bench: fused pushing compiled in {time.perf_counter() - t_c:.0f}s')
+    t0 = time.perf_counter()
+    for _ in range(TIMED_CALLS):
+        state, key, rs = roll(state, key)
+    jax.block_until_ready(rs)
+    return batch * ROLLOUT_T * TIMED_CALLS / (time.perf_counter() - t0)
 
 
 def bench_planning(batch=BATCH, num_movers=1, layout=None):

@@ -277,7 +277,8 @@ def _rejection_sample(key, sample_fn, accept_fn, max_trials: int, block: int = 8
     of per-lane geometrics — which grows with batch width.  First-accepted-
     of-K has identical distribution to pure rejection sampling and cuts the
     round count ~K-fold (it made 4-mover auto-reset the bottleneck at 1024
-    envs before this).
+    envs before this).  For high-acceptance samplers K > 1 is pure overhead
+    (it halved pushing auto-reset throughput) — pass ``block=1`` there.
     """
 
     def draw(k):
@@ -349,13 +350,20 @@ def reset(
             separated = jnp.asarray(True)
         return reachable & separated
 
+    # multi-mover acceptance decays with M (pairwise separation + per-mover
+    # validity): blocks pay off; single-mover acceptance is near 1: block=1
+    block = 8 if m > 1 else 1
     if start_xy is None:
-        start_xy, start_ok, start_trials = _rejection_sample(k_start, sample_xy, accept_start, config.max_reset_trials)
+        start_xy, start_ok, start_trials = _rejection_sample(
+            k_start, sample_xy, accept_start, config.max_reset_trials, block=block
+        )
     else:
         start_xy = jnp.asarray(start_xy, dtype).reshape(m, 2)
         start_ok, start_trials = accept_start(start_xy), jnp.asarray(0, jnp.int32)
     if goals_xy is None:
-        goal_xy, goal_ok, goal_trials = _rejection_sample(k_goal, sample_xy, accept_goal, config.max_reset_trials)
+        goal_xy, goal_ok, goal_trials = _rejection_sample(
+            k_goal, sample_xy, accept_goal, config.max_reset_trials, block=block
+        )
     else:
         goal_xy = jnp.asarray(goals_xy, dtype).reshape(m, 2)
         goal_ok, goal_trials = accept_goal(goal_xy), jnp.asarray(0, jnp.int32)

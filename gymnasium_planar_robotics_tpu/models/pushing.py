@@ -229,15 +229,20 @@ def reset(
     else:
         mover_xy = jnp.asarray(mover_start_xy_pos, dtype).reshape(2)
 
-    def sample_obj(k):
-        return jax.random.uniform(k, (2,), dtype, params.obj_min_xy, params.obj_max_xy)
-
-    def accept_obj(xy):
-        return jnp.linalg.norm(xy - mover_xy) > params.min_mo_dist
-
-    from gymnasium_planar_robotics_tpu.models.planning import _rejection_sample
-
-    obj_xy, obj_ok, trials = _rejection_sample(k_obj, sample_obj, accept_obj, config.max_reset_trials)
+    # object placement: first-accepted of max_reset_trials iid draws, all in
+    # ONE flat vectorized draw — identical distribution to the reference's
+    # rejection loop, with no sequential while_loop at all.  (The acceptance
+    # test is a single distance; near-center mover positions make acceptance
+    # arbitrarily low — the reference spins forever there,
+    # benchmark_pushing_env.py:394-407 — so a loop's worst case is brutal
+    # under vmap while a flat draw is constant-cost.)
+    k_draws = config.max_reset_trials
+    cands = jax.random.uniform(k_obj, (k_draws, 2), dtype, params.obj_min_xy, params.obj_max_xy)
+    accepts = jnp.linalg.norm(cands - mover_xy[None, :], axis=-1) > params.min_mo_dist
+    idx = jnp.argmax(accepts)
+    obj_xy = cands[idx]
+    obj_ok = accepts.any()
+    trials = jnp.where(obj_ok, idx + 1, k_draws).astype(jnp.int32)
 
     if object_goal_xy_pos is None:
         goal = jax.random.uniform(k_goal, (2,), dtype, params.obj_min_xy, params.obj_max_xy)
@@ -373,6 +378,68 @@ def compute_reward(params: PushingParams, achieved_goal, desired_goal, wall_coll
     reached = dist <= params.threshold_pos
     reward = jnp.where(wall_collision, REWARD_WALL_COLLISION, -1.0)
     return jnp.where(reached & ~wall_collision, 0.0, reward)
+
+
+def make_fused_step(config: PushingConfig, params: PushingParams, interpret: bool = False):
+    """Batched pushing step with the whole cycle loop (incl. contact) in one
+    Pallas launch; signature matches ``batched_step``."""
+    from functools import partial as _partial
+
+    from gymnasium_planar_robotics_tpu.ops import pallas_step
+
+    fused = pallas_step.make_fused_pushing_cycles(config, params, interpret=interpret)
+    limit = params.j_max if config.learn_jerk else params.a_max
+
+    def step_fn(state: PushingState, action: jnp.ndarray):
+        b = state.pos.shape[0]
+        dtype = state.pos.dtype
+        action = jnp.clip(jnp.asarray(action, dtype).reshape(b, 2), -limit, limit)
+
+        keys = jax.vmap(lambda k: jax.random.split(k, 3))(state.key)
+        new_keys = keys[:, 0]
+        seed = jax.random.randint(jax.random.fold_in(state.key[0], 11), (), 0, 2**31 - 1)
+
+        pos, vel, acc, act, obj_pos, obj_vel, wall = fused(
+            state.pos, state.vel, state.acc, state.act, state.obj_pos, state.obj_vel, action, seed
+        )
+        new_state = PushingState(
+            pos=pos.astype(dtype), vel=vel.astype(dtype), acc=acc.astype(dtype), act=act.astype(dtype),
+            obj_pos=obj_pos.astype(dtype), obj_vel=obj_vel.astype(dtype),
+            goal=state.goal, key=new_keys, steps=state.steps + 1,
+        )
+        obs = jax.vmap(_partial(_get_obs, config, params))(new_state, keys[:, 1])
+        info = jax.vmap(_partial(_get_info, params))(obs, wall)
+        reward = compute_reward(params, obs['achieved_goal'], obs['desired_goal'], wall)
+        terminated = reward == REWARD_WALL_COLLISION
+        truncated = jnp.zeros((b,), jnp.bool_)
+        return new_state, obs, reward, terminated, truncated, info
+
+    return step_fn
+
+
+def make_fused_step_autoreset(config: PushingConfig, params: PushingParams, interpret: bool = False):
+    """Fused Pallas pushing step + in-place episode restart (batched)."""
+    from gymnasium_planar_robotics_tpu.models.planning import _where_done, autoreset_select
+
+    fused = make_fused_step(config, params, interpret=interpret)
+    batched_reset = jax.vmap(lambda k: reset(config, params, k))
+
+    def step_fn(state: PushingState, action: jnp.ndarray):
+        new_state, obs, reward, terminated, _, info = fused(state, action)
+        truncated = new_state.steps >= config.max_episode_steps
+        done = terminated | truncated
+
+        keys = jax.vmap(jax.random.split)(new_state.key)
+        reset_state, reset_obs, _ = batched_reset(keys[:, 0])
+        kept = jax.vmap(autoreset_select)(done, new_state, reset_state, keys[:, 1])
+        out_obs = jax.tree_util.tree_map(
+            lambda a, b: jax.vmap(_where_done)(done, b, a), obs, reset_obs
+        )
+        info = dict(info)
+        info['final_observation'] = obs
+        return kept, out_obs, reward, terminated, truncated, info
+
+    return step_fn
 
 
 def step_autoreset(config: PushingConfig, params: PushingParams, state: PushingState, action):

@@ -125,3 +125,66 @@ def test_fused_autoreset_restarts_episodes():
             assert (pos >= np.asarray(params.min_xy) - 1e-6).all()
             assert (pos <= np.asarray(params.max_xy) + 1e-6).all()
     assert terminated_any, 'wall slam never terminated an episode'
+
+
+# ---------------------------------------------------------------------------
+# pushing kernel
+# ---------------------------------------------------------------------------
+
+
+def _mk_push(std=0.0, learn_jerk=False):
+    from gymnasium_planar_robotics_tpu.models import pushing
+
+    return pushing.make_pushing_env(std_noise=std, learn_jerk=learn_jerk, dtype=jnp.float32)
+
+
+@pytest.mark.parametrize('learn_jerk', [False, True])
+def test_fused_pushing_matches_xla_at_zero_noise(learn_jerk):
+    from gymnasium_planar_robotics_tpu.models import pushing
+
+    config, params = _mk_push(std=0.0, learn_jerk=learn_jerk)
+    b = 128
+    state, obs, _ = pushing.init_batch(config, params, jax.random.PRNGKey(0), b)
+    # plant half the movers right next to the object so contact fires
+    import dataclasses
+
+    state = dataclasses.replace(
+        state,
+        pos=state.obj_pos + jnp.asarray([-0.115, 0.0], jnp.float32),
+        vel=jnp.tile(jnp.asarray([0.4, 0.0], jnp.float32), (b, 1)),
+    )
+    limit = 80.0 if learn_jerk else 8.0
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (b, 2), jnp.float32, -limit, limit)
+
+    xs, _, xr, xt, _, xi = pushing.batched_step(config, params, state, actions)
+    fused_step = pushing.make_fused_step(config, params, interpret=True)
+    fs, _, fr, ft, _, fi = fused_step(state, actions)
+
+    # ulp-level tolerance: the two programs fuse multiplies differently (FMA
+    # contraction), so contact-coupled quantities can differ in the last bit
+    tol = dict(rtol=2e-6, atol=2e-7)
+    np.testing.assert_allclose(np.asarray(fs.pos), np.asarray(xs.pos), **tol)
+    np.testing.assert_allclose(np.asarray(fs.vel), np.asarray(xs.vel), **tol)
+    np.testing.assert_allclose(np.asarray(fs.obj_pos), np.asarray(xs.obj_pos), **tol)
+    np.testing.assert_allclose(np.asarray(fs.obj_vel), np.asarray(xs.obj_vel), **tol)
+    np.testing.assert_allclose(np.asarray(fs.acc), np.asarray(xs.acc), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(fi['wall_collision']), np.asarray(xi['wall_collision']))
+    # object moved for at least some envs (contact actually exercised)
+    assert (np.abs(np.asarray(fs.obj_pos - state.obj_pos)) > 1e-5).any()
+
+
+def test_fused_pushing_autoreset():
+    from gymnasium_planar_robotics_tpu.models import pushing
+
+    config, params = _mk_push(std=1e-5)
+    b = 128
+    state, obs, _ = pushing.init_batch(config, params, jax.random.PRNGKey(2), b)
+    step = pushing.make_fused_step_autoreset(config, params, interpret=True)
+    actions = jnp.tile(jnp.asarray([8.0, 0.0], jnp.float32), (b, 1))
+    hit = False
+    for _ in range(8):
+        state, obs, rew, term, trunc, info = step(state, actions)
+        hit = hit or bool(np.asarray(term).any())
+        done = np.asarray(term) | np.asarray(trunc)
+        assert (np.asarray(state.steps)[done] == 0).all()
+    assert hit
