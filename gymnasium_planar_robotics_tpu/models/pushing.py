@@ -418,26 +418,83 @@ def make_fused_step(config: PushingConfig, params: PushingParams, interpret: boo
 
 
 def make_fused_step_autoreset(config: PushingConfig, params: PushingParams, interpret: bool = False):
-    """Fused Pallas pushing step + in-place episode restart (batched)."""
+    """Fused Pallas pushing step + episode restart.
+
+    Acceleration mode runs EVERYTHING (cycles, termination, reset sampling,
+    both observations) inside one kernel launch; jerk mode composes the fused
+    step with the XLA reset (the pre-reset acceleration needed for the final
+    observation is overwritten by the in-kernel reset)."""
     from gymnasium_planar_robotics_tpu.models.planning import _where_done, autoreset_select
 
-    fused = make_fused_step(config, params, interpret=interpret)
-    batched_reset = jax.vmap(lambda k: reset(config, params, k))
+    if config.learn_jerk:
+        fused = make_fused_step(config, params, interpret=interpret)
+        batched_reset = jax.vmap(lambda k: reset(config, params, k))
+
+        def step_fn(state: PushingState, action: jnp.ndarray):
+            new_state, obs, reward, terminated, _, info = fused(state, action)
+            truncated = new_state.steps >= config.max_episode_steps
+            done = terminated | truncated
+
+            keys = jax.vmap(jax.random.split)(new_state.key)
+            reset_state, reset_obs, _ = batched_reset(keys[:, 0])
+            kept = jax.vmap(autoreset_select)(done, new_state, reset_state, keys[:, 1])
+            out_obs = jax.tree_util.tree_map(
+                lambda a, b: jax.vmap(_where_done)(done, b, a), obs, reset_obs
+            )
+            info = dict(info)
+            info['final_observation'] = obs
+            return kept, out_obs, reward, terminated, truncated, info
+
+        return step_fn
+
+    from gymnasium_planar_robotics_tpu.ops import pallas_step
+
+    fused = pallas_step.make_fused_pushing_autoreset_cycles(config, params, interpret=interpret)
+    limit = params.a_max
 
     def step_fn(state: PushingState, action: jnp.ndarray):
-        new_state, obs, reward, terminated, _, info = fused(state, action)
-        truncated = new_state.steps >= config.max_episode_steps
-        done = terminated | truncated
+        b = state.pos.shape[0]
+        dtype = state.pos.dtype
+        action = jnp.clip(jnp.asarray(action, dtype).reshape(b, 2), -limit, limit)
+        new_keys = jax.vmap(lambda k: jax.random.split(k, 1)[0])(state.key)
+        seed = jax.random.randint(jax.random.fold_in(state.key[0], 13), (), 0, 2**31 - 1)
 
-        keys = jax.vmap(jax.random.split)(new_state.key)
-        reset_state, reset_obs, _ = batched_reset(keys[:, 0])
-        kept = jax.vmap(autoreset_select)(done, new_state, reset_state, keys[:, 1])
-        out_obs = jax.tree_util.tree_map(
-            lambda a, b: jax.vmap(_where_done)(done, b, a), obs, reset_obs
+        (pos, vel, acc, act, obj_pos, obj_vel, goal, steps), obs_sel, obs_final, wall = fused(
+            state.pos, state.vel, state.acc, state.act, state.obj_pos, state.obj_vel,
+            state.goal, state.steps, action, seed,
         )
-        info = dict(info)
-        info['final_observation'] = obs
-        return kept, out_obs, reward, terminated, truncated, info
+        new_state = PushingState(
+            pos=pos.astype(dtype), vel=vel.astype(dtype), acc=acc.astype(dtype), act=act.astype(dtype),
+            obj_pos=obj_pos.astype(dtype), obj_vel=obj_vel.astype(dtype), goal=goal.astype(dtype),
+            key=new_keys, steps=steps,
+        )
+        old_goal = state.goal.astype(dtype)
+        f_mp, f_mv, f_ag = (x.astype(dtype) for x in obs_final)
+        s_mp, s_mv, s_ag = (x.astype(dtype) for x in obs_sel)
+
+        dist = jnp.linalg.norm(f_ag - old_goal, axis=-1)
+        reached = dist <= params.threshold_pos
+        reward = jnp.where(wall, REWARD_WALL_COLLISION, jnp.where(reached, 0.0, -1.0)).astype(dtype)
+        terminated = wall
+        truncated = (state.steps + 1) >= config.max_episode_steps
+
+        final_obs = {
+            'observation': jnp.concatenate([f_mp, f_mv], axis=-1),
+            'achieved_goal': f_ag,
+            'desired_goal': old_goal,
+        }
+        out_obs = {
+            'observation': jnp.concatenate([s_mp, s_mv], axis=-1),
+            'achieved_goal': s_ag,
+            'desired_goal': new_state.goal,
+        }
+        info = {
+            'is_success': reached & ~wall,
+            'mover_collision': jnp.zeros((b,), jnp.bool_),
+            'wall_collision': wall,
+            'final_observation': final_obs,
+        }
+        return new_state, out_obs, reward, terminated, truncated, info
 
     return step_fn
 

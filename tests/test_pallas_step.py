@@ -188,3 +188,40 @@ def test_fused_pushing_autoreset():
         done = np.asarray(term) | np.asarray(trunc)
         assert (np.asarray(state.steps)[done] == 0).all()
     assert hit
+
+
+def test_fused_pushing_inkernel_autoreset_semantics():
+    """In-kernel reset (acc mode): noise-independent invariants.
+
+    NOTE: interpret mode's hardware PRNG yields all-zero bits, so sampled
+    values degenerate to the range minimum here — value distributions are
+    validated on real TPU (see the verify drive); this test checks the
+    mechanics: step counters, goal switching, final-obs bookkeeping.
+    """
+    from gymnasium_planar_robotics_tpu.models import pushing
+
+    config, params = _mk_push(std=0.0)
+    b = 256
+    state, obs, _ = pushing.init_batch(config, params, jax.random.PRNGKey(3), b)
+    step = pushing.make_fused_step_autoreset(config, params, interpret=True)
+    actions = jnp.tile(jnp.asarray([9.0, 0.0], jnp.float32), (b, 1))
+    resets = 0
+    for t in range(6):
+        prev_goal = np.asarray(state.goal)
+        state, obs, rew, term, trunc, info = step(state, actions)
+        done = np.asarray(term) | np.asarray(trunc)
+        resets += int(done.sum())
+        keep = ~done
+        assert (np.asarray(state.steps)[done] == 0).all()
+        assert (np.abs(np.asarray(state.vel)[done]) < 1e-6).all()
+        # final_observation keeps the OLD goal; out obs carries the new state goal
+        np.testing.assert_allclose(
+            np.asarray(info['final_observation']['desired_goal']), prev_goal, atol=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(obs['desired_goal']), np.asarray(state.goal), atol=1e-6)
+        # non-done envs keep their goal and advance their counter
+        np.testing.assert_allclose(np.asarray(state.goal)[keep], prev_goal[keep], atol=1e-6)
+        # rewards: wall envs -50, others 0/-1
+        assert set(np.unique(np.asarray(rew))) <= {0.0, -1.0, -50.0}
+        assert (np.asarray(rew)[np.asarray(term)] == -50.0).all()
+    assert resets > 0, 'no episode ever restarted'
