@@ -30,7 +30,7 @@ def _log(msg: str) -> None:
 
 
 BATCH = 4096
-ROLLOUT_T = 32  # env-steps per jitted rollout call
+ROLLOUT_T = 64  # env-steps per jitted rollout call
 TIMED_CALLS = 5
 
 # reference CPU rates measured on this machine (BASELINE.md)
