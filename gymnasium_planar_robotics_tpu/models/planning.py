@@ -569,8 +569,56 @@ def make_fused_step(config: PlanningConfig, params: PlanningParams, interpret: b
 
 
 def make_fused_step_autoreset(config: PlanningConfig, params: PlanningParams, interpret: bool = False):
-    """Fused Pallas step + in-place episode restart (batched signature like
-    ``batched_step_autoreset``)."""
+    """Fused Pallas step + episode restart.
+
+    The 1-mover/circle/acceleration/sparse configuration runs the restart
+    (wall-valid start/goal resampling, termination, both observations) inside
+    the kernel as well; other supported configs compose the fused step with
+    the XLA reset."""
+    from gymnasium_planar_robotics_tpu.ops import pallas_step
+
+    in_kernel = (not config.learn_jerk) and config.reward_mode == 'sparse'
+    if in_kernel:
+        fused_all = pallas_step.make_fused_planning_autoreset_cycles(config, params, interpret=interpret)
+        limit = params.a_max
+
+        def step_fn(state: PlanningState, action: jnp.ndarray):
+            b = state.pos.shape[0]
+            dtype = state.pos.dtype
+            action = jnp.clip(jnp.asarray(action, dtype).reshape(b, 2), -limit, limit)
+            new_keys = jax.vmap(lambda k: jax.random.split(k, 1)[0])(state.key)
+            seed = jax.random.randint(jax.random.fold_in(state.key[0], 17), (), 0, 2**31 - 1)
+
+            (pos, vel, acc, goals, steps), obs_sel, obs_final, wall, reached = fused_all(
+                state.pos[:, 0], state.vel[:, 0], state.acc[:, 0], state.goals[:, 0],
+                state.steps, action, seed,
+            )
+            as_m = lambda x: x[:, None, :].astype(dtype)
+            new_state = PlanningState(
+                pos=as_m(pos), vel=as_m(vel), acc=as_m(acc), act=as_m(acc) * 0,
+                goals=as_m(goals), key=new_keys, steps=steps,
+            )
+            old_goal = state.goals[:, 0].astype(dtype)
+            f_v, f_ag = (x.astype(dtype) for x in obs_final)
+            s_v, s_ag = (x.astype(dtype) for x in obs_sel)
+
+            mover = jnp.zeros((b,), jnp.bool_)
+            reward = jnp.where(wall, -REWARD_SUCCESS, jnp.where(reached, REWARD_SUCCESS, -1.0)).astype(dtype)
+            terminated = wall | reached
+            truncated = (state.steps + 1) >= config.max_episode_steps
+
+            final_obs = {'observation': f_v, 'achieved_goal': f_ag, 'desired_goal': old_goal}
+            out_obs = {'observation': s_v, 'achieved_goal': s_ag, 'desired_goal': goals.astype(dtype)}
+            info = {
+                'is_success': reached & ~wall,
+                'mover_collision': mover,
+                'wall_collision': wall,
+                'final_observation': final_obs,
+            }
+            return new_state, out_obs, reward, terminated, truncated, info
+
+        return step_fn
+
     fused = make_fused_step(config, params, interpret=interpret)
     batched_reset = jax.vmap(partial(reset, config, params))
 
