@@ -69,12 +69,27 @@ def make_batched_parallel_step(config: planning.PlanningConfig, params: planning
     separate XLA call that blocks fusion across the scan body — measured 10x
     slower on TPU than the inlined version."""
 
+    import numpy as _np
+
+    c_arr = _np.asarray(params.c_size).reshape(-1)
+    fused_ok = (
+        not config.learn_jerk
+        and config.reward_mode == 'sparse'
+        and config.collision_shape == 'circle'
+        and _np.allclose(c_arr, c_arr[0])
+        and _np.asarray(params.v_max).dtype == _np.float32
+    )
+    fused_step = planning.make_fused_step_autoreset(config, params) if fused_ok else None
+
     def step(state, actions):
         b = actions.shape[0]
         flat = actions.reshape(b, config.num_movers * 2)
-        state, obs, reward, terminated, truncated, info = planning.batched_step_autoreset(
-            config, params, state, flat
-        )
+        if fused_step is not None and b % 128 == 0:
+            state, obs, reward, terminated, truncated, info = fused_step(state, flat)
+        else:
+            state, obs, reward, terminated, truncated, info = planning.batched_step_autoreset(
+                config, params, state, flat
+            )
         observation, achieved, desired = split_obs(config, obs)
         rew = per_agent_rewards(config, params, achieved, desired, reward)
         n = config.num_movers

@@ -577,7 +577,69 @@ def make_fused_step_autoreset(config: PlanningConfig, params: PlanningParams, in
     the XLA reset."""
     from gymnasium_planar_robotics_tpu.ops import pallas_step
 
-    in_kernel = (not config.learn_jerk) and config.reward_mode == 'sparse'
+    c_arr = np.asarray(params.c_size).reshape(-1)
+    in_kernel_multi = (
+        config.num_movers > 1
+        and not config.learn_jerk
+        and config.reward_mode == 'sparse'
+        and config.collision_shape == 'circle'
+        and np.allclose(c_arr, c_arr[0])
+        and np.asarray(params.v_max).dtype == np.float32
+    )
+    if in_kernel_multi:
+        fused_all = pallas_step.make_fused_planning_multi_autoreset_cycles(config, params, interpret=interpret)
+        m = config.num_movers
+        limit = params.a_max
+
+        def step_fn(state: PlanningState, action: jnp.ndarray):
+            b = state.pos.shape[0]
+            dtype = state.pos.dtype
+            action = jnp.clip(jnp.asarray(action, dtype).reshape(b, m, 2), -limit, limit)
+            new_keys = jax.vmap(lambda k: jax.random.split(k, 1)[0])(state.key)
+            seed = jax.random.randint(jax.random.fold_in(state.key[0], 19), (), 0, 2**31 - 1)
+
+            (pos, vel, acc, goals, steps), obs_sel, obs_final, wall, mover, unreached = fused_all(
+                state.pos, state.vel, state.acc, state.goals, state.steps, action, seed
+            )
+            new_state = PlanningState(
+                pos=pos.astype(dtype), vel=vel.astype(dtype), acc=acc.astype(dtype),
+                act=jnp.zeros_like(pos, dtype=dtype), goals=goals.astype(dtype),
+                key=new_keys, steps=steps,
+            )
+            s_v, s_ag = obs_sel
+            f_v, f_ag = obs_final
+            old_goal = state.goals.reshape(b, m * 2).astype(dtype)
+
+            collided = wall | mover
+            all_reached = unreached == 0
+            reward = jnp.where(
+                collided, -REWARD_SUCCESS,
+                jnp.where(all_reached, REWARD_SUCCESS, -unreached),
+            ).astype(dtype)
+            terminated = collided | all_reached
+            truncated = (state.steps + 1) >= config.max_episode_steps
+
+            final_obs = {
+                'observation': f_v.reshape(b, m * 2).astype(dtype),
+                'achieved_goal': f_ag.reshape(b, m * 2).astype(dtype),
+                'desired_goal': old_goal,
+            }
+            out_obs = {
+                'observation': s_v.reshape(b, m * 2).astype(dtype),
+                'achieved_goal': s_ag.reshape(b, m * 2).astype(dtype),
+                'desired_goal': goals.reshape(b, m * 2).astype(dtype),
+            }
+            info = {
+                'is_success': all_reached & ~collided,
+                'mover_collision': mover,
+                'wall_collision': wall,
+                'final_observation': final_obs,
+            }
+            return new_state, out_obs, reward, terminated, truncated, info
+
+        return step_fn
+
+    in_kernel = (not config.learn_jerk) and config.reward_mode == 'sparse' and pallas_step.supports(config, params)
     if in_kernel:
         fused_all = pallas_step.make_fused_planning_autoreset_cycles(config, params, interpret=interpret)
         limit = params.a_max

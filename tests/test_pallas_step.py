@@ -225,3 +225,65 @@ def test_fused_pushing_inkernel_autoreset_semantics():
         assert set(np.unique(np.asarray(rew))) <= {0.0, -1.0, -50.0}
         assert (np.asarray(rew)[np.asarray(term)] == -50.0).all()
     assert resets > 0, 'no episode ever restarted'
+
+
+def test_fused_multi_mover_autoreset_mechanics():
+    """M=3 in-kernel autoreset: noise-independent mechanics (interpret mode
+    PRNG yields zeros — value distributions validated on device)."""
+    config, params = planning.make_planning_env(
+        np.ones((4, 4)), 3, std_noise=0.0, num_cycles=40, dtype=jnp.float32
+    )
+    b = 128
+    state, obs, _ = planning.init_batch(config, params, jax.random.PRNGKey(5), b)
+    step = planning.make_fused_step_autoreset(config, params, interpret=True)
+    # drive movers 0 and 1 into each other
+    actions = jnp.tile(jnp.asarray([[6.0, 0.0], [-6.0, 0.0], [0.0, 2.0]], jnp.float32), (b, 1, 1))
+    collided_any = False
+    for t in range(6):
+        prev_goal = np.asarray(state.goals)
+        state, o, r, te, tr, info = step(state, actions.reshape(b, -1))
+        done = np.asarray(te) | np.asarray(tr)
+        collided_any = collided_any or bool(
+            (np.asarray(info['mover_collision']) | np.asarray(info['wall_collision'])).any()
+        )
+        assert (np.asarray(state.steps)[done] == 0).all()
+        keep = ~done
+        np.testing.assert_allclose(np.asarray(state.goals)[keep], prev_goal[keep], atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(info['final_observation']['desired_goal']), prev_goal.reshape(b, -1), atol=1e-6
+        )
+        rw = np.asarray(r)
+        assert ((rw == 50.0) | (rw == -50.0) | ((rw <= 0) & (rw >= -3))).all()
+        # collision => -50 and terminated
+        col = np.asarray(info['mover_collision']) | np.asarray(info['wall_collision'])
+        assert (rw[col] == -50.0).all()
+        assert np.asarray(te)[col].all()
+    assert collided_any, 'head-on movers never collided'
+
+
+def test_fused_multi_matches_xla_single_step_zero_noise():
+    """M=2, std=0: kernel cycle physics must match the XLA step bit-exactly
+    (state only; obs/reset streams differ)."""
+    config, params = planning.make_planning_env(
+        np.ones((4, 4)), 2, std_noise=0.0, num_cycles=40, dtype=jnp.float32
+    )
+    b = 128
+    state, obs, _ = planning.init_batch(config, params, jax.random.PRNGKey(9), b)
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (b, 4), jnp.float32, -8.0, 8.0)
+
+    xs, _, xr, xt, _, xi = planning.batched_step(config, params, state, actions)
+    step = planning.make_fused_step_autoreset(config, params, interpret=True)
+    fs, fo, fr, ft, ftr, fi = step(state, actions)
+
+    # compare only envs the XLA path did NOT terminate (the fused path resets
+    # terminated envs in place)
+    live = ~(np.asarray(xt))
+    np.testing.assert_array_equal(np.asarray(fs.pos)[live], np.asarray(xs.pos)[live])
+    np.testing.assert_array_equal(np.asarray(fs.vel)[live], np.asarray(xs.vel)[live])
+    np.testing.assert_array_equal(
+        np.asarray(fi['wall_collision']), np.asarray(xi['wall_collision'])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fi['mover_collision']), np.asarray(xi['mover_collision'])
+    )
+    np.testing.assert_array_equal(np.asarray(fr), np.asarray(xr))
