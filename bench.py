@@ -155,13 +155,14 @@ def _run_scaling() -> None:
     }))
 
 
-def bench_planning_fused(batch=BATCH):
-    """Planning with the fused Pallas mega-kernel (whole 40-cycle step in one
-    launch) + autoreset."""
+def bench_planning_fused(batch=BATCH, num_movers=1, layout=None):
+    """Planning with the fused Pallas mega-kernel (whole autoreset step in one
+    launch)."""
     from gymnasium_planar_robotics_tpu.models import planning
 
     config, params = planning.make_planning_env(
-        layout_tiles=np.ones((3, 3)), num_movers=1, std_noise=1e-5, dtype=jnp.float32
+        layout_tiles=np.ones((3, 3)) if layout is None else layout,
+        num_movers=num_movers, std_noise=1e-5, dtype=jnp.float32,
     )
     state, obs, _ = jax.block_until_ready(planning.init_batch(config, params, jax.random.PRNGKey(0), batch))
     fused = planning.make_fused_step_autoreset(config, params)
@@ -172,7 +173,7 @@ def bench_planning_fused(batch=BATCH):
 
         def body(carry, k):
             s, = carry
-            a = jax.random.uniform(k, (batch, 2), jnp.float32, -10.0, 10.0)
+            a = jax.random.uniform(k, (batch, config.num_movers * 2), jnp.float32, -10.0, 10.0)
             s, o, r, te, tr, i = fused(s, a)
             return (s,), r.mean()
 
@@ -268,7 +269,7 @@ def main() -> None:
             ('pushing 4096 envs', bench_pushing(4096), REF_PUSHING),
             ('planning 1-mover 4096 envs', bench_planning(4096, 1), REF_PLANNING_1),
             ('planning 1-mover 4096 envs (pallas fused)', bench_planning_fused(4096), REF_PLANNING_1),
-            ('planning 4-mover 256 envs', bench_planning(256, 4, np.ones((4, 4))), REF_PLANNING_4),
+            ('planning 4-mover 256 envs (pallas fused)', bench_planning_fused(256, 4, np.ones((4, 4))), REF_PLANNING_4),
             ('multi-agent 4x1024 envs', bench_multiagent(1024, 4), REF_PLANNING_4),
             ('mixed planning+pushing 4096 envs', bench_mixed(2048), REF_PUSHING),
         ]
