@@ -43,8 +43,20 @@ class _JaxVectorEnv(gym.vector.VectorEnv):
         self._state = None
         self._key = None
 
+        # use the fused Pallas autoreset step when this configuration has one
+        # (single-chip path; sharded meshes keep the vmapped XLA step)
+        fused = None
+        on_tpu = jax.default_backend() in ('tpu', 'axon')
+        if mesh is None and on_tpu and num_envs % 128 == 0 and hasattr(model, 'make_fused_step_autoreset'):
+            try:
+                fused = model.make_fused_step_autoreset(config, params)
+            except AssertionError:
+                fused = None
+
         step = jax.vmap(model.step_autoreset, in_axes=(None, None, 0, 0))
-        if mesh is None:
+        if fused is not None:
+            self._step_jit = jax.jit(fused)
+        elif mesh is None:
             self._step_jit = jax.jit(lambda s, a: step(config, params, s, a))
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P

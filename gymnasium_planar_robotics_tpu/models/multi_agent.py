@@ -73,7 +73,8 @@ def make_batched_parallel_step(config: planning.PlanningConfig, params: planning
 
     c_arr = _np.asarray(params.c_size).reshape(-1)
     fused_ok = (
-        not config.learn_jerk
+        jax.default_backend() in ('tpu', 'axon')  # Mosaic kernels are TPU-only
+        and not config.learn_jerk
         and config.reward_mode == 'sparse'
         and config.collision_shape == 'circle'
         and _np.allclose(c_arr, c_arr[0])
