@@ -79,14 +79,27 @@ class _JaxGymEnv(gym.Env):
         assert self._state is not None, 'call reset() first'
         action = np.asarray(action, dtype=np.float64)
         assert action.shape == self.action_space.shape, 'action dim != action_space dim'
+        # clip-with-warning, matching the reference step preamble
+        # (basic_envs.py:1869-1873); the core clips again inside jit
+        if not self.action_space.contains(action.astype(self.action_space.dtype)):
+            gym.logger.warn(
+                'The desired action is not within the action space and will be clipped: '
+                f'{action}'
+            )
+            action = np.clip(action, self.action_space.low, self.action_space.high)
         self._state, obs, reward, terminated, truncated, info = self._step_jit(
             self._state, jnp.asarray(action)
         )
+        # reward-shape guard (basic_envs.py:1943-1948): a scalar or shape-(1,)
+        # array; anything else means a broken compute_reward override
+        r = np.asarray(reward)
+        if r.shape not in ((), (1,)):
+            raise ValueError(f'the reward has to be a float or an array of shape (1,), got shape {r.shape}')
         if self.render_mode is not None:
             self.render()
         return (
             self._np_obs(obs),
-            float(reward),
+            float(r.reshape(-1)[0]) if r.shape else float(r),
             bool(terminated),
             bool(truncated),
             self._np_info(info),

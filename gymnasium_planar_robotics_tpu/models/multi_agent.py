@@ -92,7 +92,12 @@ def make_batched_parallel_step(config: planning.PlanningConfig, params: planning
                 config, params, state, flat
             )
         observation, achieved, desired = split_obs(config, obs)
-        rew = per_agent_rewards(config, params, achieved, desired, reward)
+        # rewards must come from the episode's FINAL observation: on done
+        # steps (termination or truncation) ``obs`` is already the next
+        # episode's first observation, so scoring it would grade agents on
+        # the post-reset state; on non-done steps final_observation == obs
+        _, f_achieved, f_desired = split_obs(config, info['final_observation'])
+        rew = per_agent_rewards(config, params, f_achieved, f_desired, reward)
         n = config.num_movers
         out = AgentBatch(
             observation=observation,
