@@ -71,14 +71,11 @@ def make_batched_parallel_step(config: planning.PlanningConfig, params: planning
 
     import numpy as _np
 
-    c_arr = _np.asarray(params.c_size).reshape(-1)
     fused_ok = (
         jax.default_backend() in ('tpu', 'axon')  # Mosaic kernels are TPU-only
-        and not config.learn_jerk
-        and config.reward_mode == 'sparse'
         and config.collision_shape == 'circle'
-        and _np.allclose(c_arr, c_arr[0])
         and _np.asarray(params.v_max).dtype == _np.float32
+        and _np.allclose(_np.asarray(params.accel_scale), 1.0)  # see pallas_step.supports
     )
     fused_step = planning.make_fused_step_autoreset(config, params) if fused_ok else None
 

@@ -61,7 +61,8 @@ class PlanningParams:
     """Array-valued parameters (a pytree; shardable/donatable)."""
 
     grid: TileGrid
-    mover_mass: jax.Array  # [M]
+    mover_mass: jax.Array  # [M] configured mover mass == actuator gain
+    accel_scale: jax.Array  # [M] gain-mass / total-body-mass (< 1 with bumper geoms)
     mover_size: jax.Array  # [M, 3] half-extents
     c_size: jax.Array  # [M] (circle) or [M, 2] (box)
     c_offset: jax.Array  # scalar: collision_params['offset']
@@ -120,6 +121,7 @@ def make_planning_env(
     grid = make_tile_grid(layout_tiles, tile_size, dtype=dtype)
 
     mover_mass = np.broadcast_to(np.asarray(mover_params.get('mass', 1.24), dtype=np.float64).reshape(-1), (num_movers,))
+    accel_scale = np.ones((num_movers,))
     mover_shape = mover_params.get('shape', 'box')
     if mover_shape == 'mesh':
         # mesh movers: size comes from the (scaled) mesh AABB, exactly like the
@@ -134,6 +136,16 @@ def make_planning_env(
             mesh_cfg.get('scale', (1.0, 1.0, 1.0)),
         )
         mover_size = np.broadcast_to(mover_size.reshape(-1, 3), (num_movers, 3))
+        # a bumper geom carries its OWN mass on the same body
+        # (basic_envs.py:911-925) while the actuator gain stays the
+        # configured mover mass (benchmark_planning_env.py:303-321), so the
+        # real acceleration is the command scaled by m_gain / m_total
+        if mesh_cfg.get('bumper_stl_path', 'beckhoff_apm4330_bumper') is not None:
+            bumper_mass = np.broadcast_to(
+                np.asarray(mesh_cfg.get('bumper_mass', 0.1), dtype=np.float64).reshape(-1), (num_movers,)
+            )
+            assert (bumper_mass >= 0).all(), 'Bumper mass must be non-negative.'
+            accel_scale = mover_mass / (mover_mass + bumper_mass)
     else:
         assert mover_shape in ('box', 'cylinder'), f'unknown mover shape {mover_shape!r}'
         mover_size = np.asarray(mover_params.get('size', np.array([0.155 / 2, 0.155 / 2, 0.012 / 2])))
@@ -182,6 +194,7 @@ def make_planning_env(
     params = PlanningParams(
         grid=grid,
         mover_mass=jnp.asarray(mover_mass, dtype),
+        accel_scale=jnp.asarray(accel_scale, dtype),
         mover_size=jnp.asarray(mover_size, dtype),
         c_size=c_size,
         c_offset=jnp.asarray(c_offset, dtype),
@@ -422,10 +435,15 @@ def step(
         nv, npose = noise
         # noisy velocity reading for the clamp chain (benchmark_planning_env.py:430)
         vel_meas = vel + nv
+        scale = params.accel_scale[:, None]  # [M, 1] over the (x, y) pair
         if config.learn_jerk:
-            res = dynamics.jerk_cycle(pos, vel, act, vel_meas, action, params.v_max, params.a_max, params.dt)
+            res = dynamics.jerk_cycle(
+                pos, vel, act, vel_meas, action, params.v_max, params.a_max, params.dt, accel_scale=scale
+            )
         else:
-            res = dynamics.acceleration_cycle(pos, vel, vel_meas, action, params.v_max, params.dt)
+            res = dynamics.acceleration_cycle(
+                pos, vel, vel_meas, action, params.v_max, params.dt, accel_scale=scale
+            )
         new_wall, new_mover = _collision_checks(
             config, params, res.pos, npose[0], npose[1],
             wall_safety_offset=False, mover_safety_offset=False,
@@ -528,19 +546,23 @@ def compute_reward(
 # ---------------------------------------------------------------------------
 
 
-def make_fused_step(config: PlanningConfig, params: PlanningParams, interpret: bool = False):
+def make_fused_step(
+    config: PlanningConfig, params: PlanningParams, interpret: bool = False, inject_noise: bool = False
+):
     """Batched step with the whole cycle loop in one Pallas launch
     (``ops/pallas_step``); signature matches ``batched_step``:
-    ``fused_step(state, action[B, M*2]) -> (state, obs, reward, term, trunc,
-    info)``.  Falls back configs are the caller's job — check
+    ``fused_step(state, action[B, M*2][, noise]) -> (state, obs, reward, term,
+    trunc, info)``.  Falls back configs are the caller's job — check
     ``pallas_step.supports(config, params)`` first."""
     from gymnasium_planar_robotics_tpu.ops import pallas_step
 
-    fused = pallas_step.make_fused_planning_cycles(config, params, interpret=interpret)
+    fused = pallas_step.make_fused_planning_cycles(
+        config, params, interpret=interpret, inject_noise=inject_noise
+    )
     m = config.num_movers
     limit = params.j_max if config.learn_jerk else params.a_max
 
-    def step_fn(state: PlanningState, action: jnp.ndarray):
+    def step_fn(state: PlanningState, action: jnp.ndarray, noise=None):
         b = state.pos.shape[0]
         dtype = state.pos.dtype
         action = jnp.clip(jnp.asarray(action, dtype).reshape(b, m, 2), -limit, limit)
@@ -551,7 +573,9 @@ def make_fused_step(config: PlanningConfig, params: PlanningParams, interpret: b
         new_keys = keys[:, 0]
         seed = jax.random.randint(jax.random.fold_in(state.key[0], 7), (), 0, 2**31 - 1)
 
-        pos, vel, acc, act, wall = fused(state.pos, state.vel, state.acc, state.act, action[:, 0], seed)
+        pos, vel, acc, act, wall = fused(
+            state.pos, state.vel, state.acc, state.act, action[:, 0], seed, noise=noise
+        )
         new_state = PlanningState(
             pos=pos.astype(dtype), vel=vel.astype(dtype), acc=acc.astype(dtype),
             act=act.astype(dtype), goals=state.goals, key=new_keys,
@@ -565,67 +589,85 @@ def make_fused_step(config: PlanningConfig, params: PlanningParams, interpret: b
         truncated = jnp.zeros((b,), jnp.bool_)
         return new_state, obs, reward, terminated, truncated, info
 
+    step_fn.noise_planes = fused.noise_planes
     return step_fn
 
 
-def make_fused_step_autoreset(config: PlanningConfig, params: PlanningParams, interpret: bool = False):
+def make_fused_step_autoreset(
+    config: PlanningConfig, params: PlanningParams, interpret: bool = False,
+    inject_noise: bool = False, cand_k: int = 16,
+):
     """Fused Pallas step + episode restart.
 
-    The 1-mover/circle/acceleration/sparse configuration runs the restart
-    (wall-valid start/goal resampling, termination, both observations) inside
-    the kernel as well; other supported configs compose the fused step with
-    the XLA reset."""
+    The circle/acceleration/sparse configurations (any M, per-mover radii)
+    run the restart (wall-valid start/goal resampling, termination, both
+    observations) inside the kernel as well; other supported configs compose
+    the fused step with the XLA reset.  A stalled in-kernel sampler (no valid
+    candidate) leaves the env un-reset and reports
+    ``info['reset_stalled']`` — the retry happens on the next step."""
     from gymnasium_planar_robotics_tpu.ops import pallas_step
 
-    c_arr = np.asarray(params.c_size).reshape(-1)
     in_kernel_multi = (
         config.num_movers > 1
-        and not config.learn_jerk
-        and config.reward_mode == 'sparse'
         and config.collision_shape == 'circle'
-        and np.allclose(c_arr, c_arr[0])
         and np.asarray(params.v_max).dtype == np.float32
+        and np.allclose(np.asarray(params.accel_scale), 1.0)  # see pallas_step.supports
     )
     if in_kernel_multi:
-        fused_all = pallas_step.make_fused_planning_multi_autoreset_cycles(config, params, interpret=interpret)
+        fused_all = pallas_step.make_fused_planning_multi_autoreset_cycles(
+            config, params, interpret=interpret, inject_noise=inject_noise, cand_k=cand_k
+        )
         m = config.num_movers
-        limit = params.a_max
+        limit = params.j_max if config.learn_jerk else params.a_max
 
-        def step_fn(state: PlanningState, action: jnp.ndarray):
+        def step_fn(state: PlanningState, action: jnp.ndarray, noise=None):
             b = state.pos.shape[0]
             dtype = state.pos.dtype
             action = jnp.clip(jnp.asarray(action, dtype).reshape(b, m, 2), -limit, limit)
             new_keys = jax.vmap(lambda k: jax.random.split(k, 1)[0])(state.key)
             seed = jax.random.randint(jax.random.fold_in(state.key[0], 19), (), 0, 2**31 - 1)
 
-            (pos, vel, acc, goals, steps), obs_sel, obs_final, wall, mover, unreached = fused_all(
-                state.pos, state.vel, state.acc, state.goals, state.steps, action, seed
+            # in planning jerk mode qacc == the integrator act state, so the
+            # acc planes serve as both (ops/dynamics.jerk_cycle returns
+            # acc == act; reset zeroes both)
+            (pos, vel, acc, goals, steps), obs_sel, obs_final, wall, mover, unreached, stalled, trials = fused_all(
+                state.pos, state.vel, state.acc, state.goals, state.steps, action, seed, noise=noise
             )
+            acc = acc.astype(dtype)
             new_state = PlanningState(
-                pos=pos.astype(dtype), vel=vel.astype(dtype), acc=acc.astype(dtype),
-                act=jnp.zeros_like(pos, dtype=dtype), goals=goals.astype(dtype),
-                key=new_keys, steps=steps,
+                pos=pos.astype(dtype), vel=vel.astype(dtype), acc=acc,
+                act=acc if config.learn_jerk else jnp.zeros_like(acc),
+                goals=goals.astype(dtype), key=new_keys, steps=steps,
             )
             s_v, s_ag = obs_sel
-            f_v, f_ag = obs_final
+            f_v, f_ag, f_acc = obs_final
             old_goal = state.goals.reshape(b, m * 2).astype(dtype)
 
             collided = wall | mover
             all_reached = unreached == 0
-            reward = jnp.where(
-                collided, -REWARD_SUCCESS,
-                jnp.where(all_reached, REWARD_SUCCESS, -unreached),
-            ).astype(dtype)
+            if config.reward_mode == 'dense':
+                dist = jnp.linalg.norm(
+                    f_ag.astype(dtype) - state.goals.astype(dtype), axis=-1
+                ).sum(axis=-1)
+                reward = jnp.where(collided, -REWARD_SUCCESS, -dist)
+            else:
+                reward = jnp.where(collided, -REWARD_SUCCESS, -unreached)
+            reward = jnp.where(all_reached & ~collided, REWARD_SUCCESS, reward).astype(dtype)
             terminated = collided | all_reached
             truncated = (state.steps + 1) >= config.max_episode_steps
 
+            def _obs_vec(v_blk, a_blk):
+                if config.learn_jerk:
+                    return jnp.concatenate([v_blk, a_blk], axis=1).reshape(b, m * 4).astype(dtype)
+                return v_blk.reshape(b, m * 2).astype(dtype)
+
             final_obs = {
-                'observation': f_v.reshape(b, m * 2).astype(dtype),
+                'observation': _obs_vec(f_v, f_acc),
                 'achieved_goal': f_ag.reshape(b, m * 2).astype(dtype),
                 'desired_goal': old_goal,
             }
             out_obs = {
-                'observation': s_v.reshape(b, m * 2).astype(dtype),
+                'observation': _obs_vec(s_v, new_state.acc),
                 'achieved_goal': s_ag.reshape(b, m * 2).astype(dtype),
                 'desired_goal': goals.reshape(b, m * 2).astype(dtype),
             }
@@ -634,71 +676,108 @@ def make_fused_step_autoreset(config: PlanningConfig, params: PlanningParams, in
                 'mover_collision': mover,
                 'wall_collision': wall,
                 'final_observation': final_obs,
+                'reset_stalled': stalled,
+                'reset_trials': trials,
             }
             return new_state, out_obs, reward, terminated, truncated, info
 
+        step_fn.noise_planes = fused_all.noise_planes
         return step_fn
 
-    in_kernel = (not config.learn_jerk) and config.reward_mode == 'sparse' and pallas_step.supports(config, params)
+    in_kernel = pallas_step.supports(config, params)
     if in_kernel:
-        fused_all = pallas_step.make_fused_planning_autoreset_cycles(config, params, interpret=interpret)
-        limit = params.a_max
+        fused_all = pallas_step.make_fused_planning_autoreset_cycles(
+            config, params, interpret=interpret, inject_noise=inject_noise, cand_k=cand_k
+        )
+        limit = params.j_max if config.learn_jerk else params.a_max
 
-        def step_fn(state: PlanningState, action: jnp.ndarray):
+        def step_fn(state: PlanningState, action: jnp.ndarray, noise=None):
             b = state.pos.shape[0]
             dtype = state.pos.dtype
             action = jnp.clip(jnp.asarray(action, dtype).reshape(b, 2), -limit, limit)
             new_keys = jax.vmap(lambda k: jax.random.split(k, 1)[0])(state.key)
             seed = jax.random.randint(jax.random.fold_in(state.key[0], 17), (), 0, 2**31 - 1)
 
-            (pos, vel, acc, goals, steps), obs_sel, obs_final, wall, reached = fused_all(
-                state.pos[:, 0], state.vel[:, 0], state.acc[:, 0], state.goals[:, 0],
-                state.steps, action, seed,
+            # jerk mode: acc planes double as the integrator act state (they
+            # coincide in planning — see the multi-mover wrapper note)
+            a_state = state.act[:, 0] if config.learn_jerk else state.acc[:, 0]
+            (pos, vel, acc, goals, steps), obs_sel, obs_final, wall, reached, stalled, trials = fused_all(
+                state.pos[:, 0], state.vel[:, 0], a_state, state.goals[:, 0],
+                state.steps, action, seed, noise=noise,
             )
             as_m = lambda x: x[:, None, :].astype(dtype)
+            acc_m = as_m(acc)
             new_state = PlanningState(
-                pos=as_m(pos), vel=as_m(vel), acc=as_m(acc), act=as_m(acc) * 0,
+                pos=as_m(pos), vel=as_m(vel), acc=acc_m,
+                act=acc_m if config.learn_jerk else acc_m * 0,
                 goals=as_m(goals), key=new_keys, steps=steps,
             )
             old_goal = state.goals[:, 0].astype(dtype)
-            f_v, f_ag = (x.astype(dtype) for x in obs_final)
+            f_v, f_ag, f_acc = (x.astype(dtype) for x in obs_final)
             s_v, s_ag = (x.astype(dtype) for x in obs_sel)
 
             mover = jnp.zeros((b,), jnp.bool_)
-            reward = jnp.where(wall, -REWARD_SUCCESS, jnp.where(reached, REWARD_SUCCESS, -1.0)).astype(dtype)
+            if config.reward_mode == 'dense':
+                dist = jnp.linalg.norm(f_ag - old_goal, axis=-1)
+                reward = jnp.where(wall, -REWARD_SUCCESS, jnp.where(reached, REWARD_SUCCESS, -dist))
+            else:
+                reward = jnp.where(wall, -REWARD_SUCCESS, jnp.where(reached, REWARD_SUCCESS, -1.0))
+            reward = reward.astype(dtype)
             terminated = wall | reached
             truncated = (state.steps + 1) >= config.max_episode_steps
 
-            final_obs = {'observation': f_v, 'achieved_goal': f_ag, 'desired_goal': old_goal}
-            out_obs = {'observation': s_v, 'achieved_goal': s_ag, 'desired_goal': goals.astype(dtype)}
+            def _obs_vec(v_blk, a_blk):
+                if config.learn_jerk:
+                    return jnp.concatenate([v_blk, a_blk], axis=-1)
+                return v_blk
+
+            final_obs = {
+                'observation': _obs_vec(f_v, f_acc),
+                'achieved_goal': f_ag,
+                'desired_goal': old_goal,
+            }
+            out_obs = {
+                'observation': _obs_vec(s_v, acc.astype(dtype)),
+                'achieved_goal': s_ag,
+                'desired_goal': goals.astype(dtype),
+            }
             info = {
                 'is_success': reached & ~wall,
                 'mover_collision': mover,
                 'wall_collision': wall,
                 'final_observation': final_obs,
+                'reset_stalled': stalled,
+                'reset_trials': trials,
             }
             return new_state, out_obs, reward, terminated, truncated, info
 
+        step_fn.noise_planes = fused_all.noise_planes
         return step_fn
 
-    fused = make_fused_step(config, params, interpret=interpret)
+    fused = make_fused_step(config, params, interpret=interpret, inject_noise=inject_noise)
     batched_reset = jax.vmap(partial(reset, config, params))
 
-    def step_fn(state: PlanningState, action: jnp.ndarray):
-        new_state, obs, reward, terminated, _, info = fused(state, action)
+    def step_fn(state: PlanningState, action: jnp.ndarray, noise=None):
+        new_state, obs, reward, terminated, _, info = fused(state, action, noise=noise)
         truncated = new_state.steps >= config.max_episode_steps
         done = terminated | truncated
 
         keys = jax.vmap(jax.random.split)(new_state.key)  # [B, 2, 2]
-        reset_state, reset_obs, _ = batched_reset(keys[:, 0])
-        kept = jax.vmap(autoreset_select)(done, new_state, reset_state, keys[:, 1])
+        reset_state, reset_obs, reset_info = batched_reset(keys[:, 0])
+        # a stalled batched reset leaves the env un-reset; done re-fires next
+        # step and the sampler retries with a fresh key
+        do_reset = done & ~reset_info['reset_stalled']
+        kept = jax.vmap(autoreset_select)(do_reset, new_state, reset_state, keys[:, 1])
         out_obs = jax.tree_util.tree_map(
-            lambda a, b: jax.vmap(_where_done)(done, b, a), obs, reset_obs
+            lambda a, b: jax.vmap(_where_done)(do_reset, b, a), obs, reset_obs
         )
         info = dict(info)
         info['final_observation'] = obs
+        info['reset_stalled'] = done & reset_info['reset_stalled']
+        info['reset_trials'] = jnp.where(done, reset_info['reset_trials'], 0)
         return kept, out_obs, reward, terminated, truncated, info
 
+    step_fn.noise_planes = fused.noise_planes
     return step_fn
 
 
@@ -720,12 +799,19 @@ def step_autoreset(
     done = terminated | truncated
 
     reset_key, carry_key = jax.random.split(new_state.key)
-    reset_state, reset_obs, _ = reset(config, params, reset_key)
+    reset_state, reset_obs, reset_info = reset(config, params, reset_key)
 
-    kept = autoreset_select(done, new_state, reset_state, carry_key)
-    out_obs = jax.tree_util.tree_map(lambda a, b: _where_done(done, b, a), obs, reset_obs)
+    # stalled reset sampling => keep the env un-reset (state + step counter
+    # carry over); done re-fires next step and the sampler retries with a
+    # fresh key.  The reference instead spins in an unbounded rejection loop,
+    # warning every 100 trials (benchmark_planning_env.py:371-375).
+    do_reset = done & ~reset_info['reset_stalled']
+    kept = autoreset_select(do_reset, new_state, reset_state, carry_key)
+    out_obs = jax.tree_util.tree_map(lambda a, b: _where_done(do_reset, b, a), obs, reset_obs)
     info = dict(info)
     info['final_observation'] = obs
+    info['reset_stalled'] = done & reset_info['reset_stalled']
+    info['reset_trials'] = jnp.where(done, reset_info['reset_trials'], 0)
     return kept, out_obs, reward, terminated, truncated, info
 
 

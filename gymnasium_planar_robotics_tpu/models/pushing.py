@@ -80,6 +80,8 @@ class PushingParams:
     contact_mu: jax.Array  # mover-object friction
     floor_mu: jax.Array  # object-floor friction
     gravity: jax.Array  # 9.81
+    obj_inertia: jax.Array  # yaw inertia m*(hx^2 + hy^2)/3
+    mu_spin: jax.Array  # torsional floor friction [rad/s^2 equivalent decel]
 
 
 @jax.tree_util.register_dataclass
@@ -91,6 +93,8 @@ class PushingState:
     act: jax.Array  # [2] jerk-integrator activation
     obj_pos: jax.Array  # [2]
     obj_vel: jax.Array  # [2]
+    obj_yaw: jax.Array  # [] object rotation about z (MuJoCo free-joint yaw)
+    obj_w: jax.Array  # [] object angular velocity
     goal: jax.Array  # [2] object goal
     key: jax.Array
     steps: jax.Array
@@ -152,9 +156,9 @@ def make_pushing_env(
         max_reset_trials=max_reset_trials,
     )
     obj_mass = 0.01
-    # calibrated against reference trajectories (grid sweep over k in
-    # [15, 130]): minimizes max object-position error across head-on,
-    # off-center, push-release and slow-push scenarios (~5 mm over 10 steps)
+    # calibrated against reference trajectories (grid sweep over k, mu, bt,
+    # mu_spin across 10 scenarios incl. corner/diagonal pushes): max object
+    # position error 8.8 mm over 10 steps, diagonal 3.7 mm
     k_n = 30.0
     params = PushingParams(
         grid=grid,
@@ -181,10 +185,14 @@ def make_pushing_env(
         min_mo_dist=jnp.asarray(min_mo, dtype),
         contact_k=jnp.asarray(k_n, dtype),
         contact_b=jnp.asarray(2.0 * np.sqrt(k_n * obj_mass), dtype),
-        contact_bt=jnp.asarray(2.0, dtype),
-        contact_mu=jnp.asarray(1.0, dtype),
+        contact_bt=jnp.asarray(1.0, dtype),
+        contact_mu=jnp.asarray(0.8, dtype),
         floor_mu=jnp.asarray(1.0, dtype),
         gravity=jnp.asarray(9.81, dtype),
+        # box yaw inertia m*(hx^2+hy^2)/3; torsional floor friction from the
+        # reference's friction=(1, 0.005, 1e-4) defaults, calibrated
+        obj_inertia=jnp.asarray(obj_mass * (object_half**2 + object_half**2) / 3.0, dtype),
+        mu_spin=jnp.asarray(60.0, dtype),
     )
     return config, params
 
@@ -250,9 +258,10 @@ def reset(
         goal = jnp.asarray(object_goal_xy_pos, dtype).reshape(2)
 
     zeros = jnp.zeros(2, dtype)
+    zero = jnp.zeros((), dtype)
     state = PushingState(
         pos=mover_xy, vel=zeros, acc=zeros, act=zeros,
-        obj_pos=obj_xy, obj_vel=zeros, goal=goal,
+        obj_pos=obj_xy, obj_vel=zeros, obj_yaw=zero, obj_w=zero, goal=goal,
         key=next_key, steps=jnp.asarray(0, jnp.int32),
     )
     k_wall, k_obs = jax.random.split(k_noise)
@@ -281,7 +290,7 @@ def step(config: PushingConfig, params: PushingParams, state: PushingState, acti
     pose_noise = jax.random.normal(k_wall, (c, _pose_noise_dims(config)), dtype) * params.std_noise[0]
 
     def cycle(carry, noise):
-        pos, vel, acc, act, obj_pos, obj_vel, wall, done = carry
+        pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, wall, done = carry
         nv, npose = noise
         vel_meas = vel + nv
 
@@ -300,8 +309,8 @@ def step(config: PushingConfig, params: PushingParams, state: PushingState, acti
 
         # contact from the current (pre-integration) state, like MuJoCo's
         # force evaluation at the step's start
-        forces = contact.box_push_contact(
-            pos, vel, obj_pos, obj_vel,
+        forces = contact.box_push_contact_v2(
+            pos, vel, obj_pos, obj_vel, obj_yaw, obj_w,
             params.mover_half, params.object_half,
             params.contact_k, params.contact_b, params.contact_bt, params.contact_mu,
         )
@@ -311,9 +320,16 @@ def step(config: PushingConfig, params: PushingParams, state: PushingState, acti
 
         obj_acc = forces.f_obj / params.object_mass
         # implicit joint damping as in MuJoCo's Euler integrator
-        v_obj = (obj_vel + params.dt * obj_acc) / (1.0 + params.dt * params.object_damping / params.object_mass)
+        damp = 1.0 + params.dt * params.object_damping / params.object_mass
+        v_obj = (obj_vel + params.dt * obj_acc) / damp
         v_obj = contact.coulomb_floor_step(v_obj, mu_g_dt)
         new_obj_pos = obj_pos + params.dt * v_obj
+        # yaw: contact torque, implicit rotational joint damping, torsional
+        # floor friction (discrete Coulomb on omega)
+        damp_w = 1.0 + params.dt * params.object_damping / params.obj_inertia
+        w_obj = (obj_w + params.dt * forces.torque_obj / params.obj_inertia) / damp_w
+        w_obj = contact.coulomb_spin_step(w_obj, params.mu_spin * params.dt)
+        new_obj_yaw = obj_yaw + params.dt * w_obj
 
         new_wall = _wall_collision_with_noise(config, params, new_pos, npose, with_offset=False)
 
@@ -323,18 +339,21 @@ def step(config: PushingConfig, params: PushingParams, state: PushingState, acti
         act = jnp.where(done, act, new_act)
         obj_pos = jnp.where(done, obj_pos, new_obj_pos)
         obj_vel = jnp.where(done, obj_vel, v_obj)
+        obj_yaw = jnp.where(done, obj_yaw, new_obj_yaw)
+        obj_w = jnp.where(done, obj_w, w_obj)
         wall = jnp.where(done, wall, new_wall)
         done = done | wall
-        return (pos, vel, acc, act, obj_pos, obj_vel, wall, done), None
+        return (pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, wall, done), None
 
     init = (state.pos, state.vel, state.acc, state.act, state.obj_pos, state.obj_vel,
-            jnp.asarray(False), jnp.asarray(False))
-    (pos, vel, acc, act, obj_pos, obj_vel, wall, _), _ = jax.lax.scan(
+            state.obj_yaw, state.obj_w, jnp.asarray(False), jnp.asarray(False))
+    (pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, wall, _), _ = jax.lax.scan(
         cycle, init, (vel_noise, pose_noise)
     )
 
     new_state = PushingState(
         pos=pos, vel=vel, acc=acc, act=act, obj_pos=obj_pos, obj_vel=obj_vel,
+        obj_yaw=obj_yaw, obj_w=obj_w,
         goal=state.goal, key=key, steps=state.steps + 1,
     )
     obs = _get_obs(config, params, new_state, k_obs)
@@ -380,17 +399,21 @@ def compute_reward(params: PushingParams, achieved_goal, desired_goal, wall_coll
     return jnp.where(reached & ~wall_collision, 0.0, reward)
 
 
-def make_fused_step(config: PushingConfig, params: PushingParams, interpret: bool = False):
+def make_fused_step(
+    config: PushingConfig, params: PushingParams, interpret: bool = False, inject_noise: bool = False
+):
     """Batched pushing step with the whole cycle loop (incl. contact) in one
     Pallas launch; signature matches ``batched_step``."""
     from functools import partial as _partial
 
     from gymnasium_planar_robotics_tpu.ops import pallas_step
 
-    fused = pallas_step.make_fused_pushing_cycles(config, params, interpret=interpret)
+    fused = pallas_step.make_fused_pushing_cycles(
+        config, params, interpret=interpret, inject_noise=inject_noise
+    )
     limit = params.j_max if config.learn_jerk else params.a_max
 
-    def step_fn(state: PushingState, action: jnp.ndarray):
+    def step_fn(state: PushingState, action: jnp.ndarray, noise=None):
         b = state.pos.shape[0]
         dtype = state.pos.dtype
         action = jnp.clip(jnp.asarray(action, dtype).reshape(b, 2), -limit, limit)
@@ -399,12 +422,14 @@ def make_fused_step(config: PushingConfig, params: PushingParams, interpret: boo
         new_keys = keys[:, 0]
         seed = jax.random.randint(jax.random.fold_in(state.key[0], 11), (), 0, 2**31 - 1)
 
-        pos, vel, acc, act, obj_pos, obj_vel, wall = fused(
-            state.pos, state.vel, state.acc, state.act, state.obj_pos, state.obj_vel, action, seed
+        pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, wall = fused(
+            state.pos, state.vel, state.acc, state.act, state.obj_pos, state.obj_vel,
+            state.obj_yaw, state.obj_w, action, seed, noise=noise,
         )
         new_state = PushingState(
             pos=pos.astype(dtype), vel=vel.astype(dtype), acc=acc.astype(dtype), act=act.astype(dtype),
             obj_pos=obj_pos.astype(dtype), obj_vel=obj_vel.astype(dtype),
+            obj_yaw=obj_yaw.astype(dtype), obj_w=obj_w.astype(dtype),
             goal=state.goal, key=new_keys, steps=state.steps + 1,
         )
         obs = jax.vmap(_partial(_get_obs, config, params))(new_state, keys[:, 1])
@@ -414,62 +439,48 @@ def make_fused_step(config: PushingConfig, params: PushingParams, interpret: boo
         truncated = jnp.zeros((b,), jnp.bool_)
         return new_state, obs, reward, terminated, truncated, info
 
+    step_fn.noise_planes = fused.noise_planes
     return step_fn
 
 
-def make_fused_step_autoreset(config: PushingConfig, params: PushingParams, interpret: bool = False):
+def make_fused_step_autoreset(
+    config: PushingConfig, params: PushingParams, interpret: bool = False,
+    inject_noise: bool = False, cand_k: int = 32,
+):
     """Fused Pallas pushing step + episode restart.
 
-    Acceleration mode runs EVERYTHING (cycles, termination, reset sampling,
-    both observations) inside one kernel launch; jerk mode composes the fused
-    step with the XLA reset (the pre-reset acceleration needed for the final
-    observation is overwritten by the in-kernel reset)."""
-    from gymnasium_planar_robotics_tpu.models.planning import _where_done, autoreset_select
-
-    if config.learn_jerk:
-        fused = make_fused_step(config, params, interpret=interpret)
-        batched_reset = jax.vmap(lambda k: reset(config, params, k))
-
-        def step_fn(state: PushingState, action: jnp.ndarray):
-            new_state, obs, reward, terminated, _, info = fused(state, action)
-            truncated = new_state.steps >= config.max_episode_steps
-            done = terminated | truncated
-
-            keys = jax.vmap(jax.random.split)(new_state.key)
-            reset_state, reset_obs, _ = batched_reset(keys[:, 0])
-            kept = jax.vmap(autoreset_select)(done, new_state, reset_state, keys[:, 1])
-            out_obs = jax.tree_util.tree_map(
-                lambda a, b: jax.vmap(_where_done)(done, b, a), obs, reset_obs
-            )
-            info = dict(info)
-            info['final_observation'] = obs
-            return kept, out_obs, reward, terminated, truncated, info
-
-        return step_fn
-
+    Both actuation modes run EVERYTHING (cycles, termination, reset sampling,
+    both observations) inside one kernel launch — the kernel emits the
+    pre-reset qacc so the jerk-mode final observation is exact.  Stalled
+    reset sampling leaves the env un-reset and reports
+    ``info['reset_stalled']`` (retry next step)."""
     from gymnasium_planar_robotics_tpu.ops import pallas_step
 
-    fused = pallas_step.make_fused_pushing_autoreset_cycles(config, params, interpret=interpret)
-    limit = params.a_max
+    fused = pallas_step.make_fused_pushing_autoreset_cycles(
+        config, params, interpret=interpret, inject_noise=inject_noise, cand_k=cand_k
+    )
+    limit = params.j_max if config.learn_jerk else params.a_max
 
-    def step_fn(state: PushingState, action: jnp.ndarray):
+    def step_fn(state: PushingState, action: jnp.ndarray, noise=None):
         b = state.pos.shape[0]
         dtype = state.pos.dtype
         action = jnp.clip(jnp.asarray(action, dtype).reshape(b, 2), -limit, limit)
         new_keys = jax.vmap(lambda k: jax.random.split(k, 1)[0])(state.key)
         seed = jax.random.randint(jax.random.fold_in(state.key[0], 13), (), 0, 2**31 - 1)
 
-        (pos, vel, acc, act, obj_pos, obj_vel, goal, steps), obs_sel, obs_final, wall = fused(
+        (pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, goal, steps), obs_sel, obs_final, wall, stalled, trials = fused(
             state.pos, state.vel, state.acc, state.act, state.obj_pos, state.obj_vel,
-            state.goal, state.steps, action, seed,
+            state.obj_yaw, state.obj_w, state.goal, state.steps, action, seed, noise=noise,
         )
+        acc = acc.astype(dtype)
         new_state = PushingState(
-            pos=pos.astype(dtype), vel=vel.astype(dtype), acc=acc.astype(dtype), act=act.astype(dtype),
-            obj_pos=obj_pos.astype(dtype), obj_vel=obj_vel.astype(dtype), goal=goal.astype(dtype),
+            pos=pos.astype(dtype), vel=vel.astype(dtype), acc=acc, act=act.astype(dtype),
+            obj_pos=obj_pos.astype(dtype), obj_vel=obj_vel.astype(dtype),
+            obj_yaw=obj_yaw.astype(dtype), obj_w=obj_w.astype(dtype), goal=goal.astype(dtype),
             key=new_keys, steps=steps,
         )
         old_goal = state.goal.astype(dtype)
-        f_mp, f_mv, f_ag = (x.astype(dtype) for x in obs_final)
+        f_mp, f_mv, f_ag, f_acc = (x.astype(dtype) for x in obs_final)
         s_mp, s_mv, s_ag = (x.astype(dtype) for x in obs_sel)
 
         dist = jnp.linalg.norm(f_ag - old_goal, axis=-1)
@@ -478,13 +489,17 @@ def make_fused_step_autoreset(config: PushingConfig, params: PushingParams, inte
         terminated = wall
         truncated = (state.steps + 1) >= config.max_episode_steps
 
+        def _obs_vec(p_blk, v_blk, a_blk):
+            parts = [p_blk, v_blk] + ([a_blk] if config.learn_jerk else [])
+            return jnp.concatenate(parts, axis=-1)
+
         final_obs = {
-            'observation': jnp.concatenate([f_mp, f_mv], axis=-1),
+            'observation': _obs_vec(f_mp, f_mv, f_acc),
             'achieved_goal': f_ag,
             'desired_goal': old_goal,
         }
         out_obs = {
-            'observation': jnp.concatenate([s_mp, s_mv], axis=-1),
+            'observation': _obs_vec(s_mp, s_mv, acc),
             'achieved_goal': s_ag,
             'desired_goal': new_state.goal,
         }
@@ -493,9 +508,12 @@ def make_fused_step_autoreset(config: PushingConfig, params: PushingParams, inte
             'mover_collision': jnp.zeros((b,), jnp.bool_),
             'wall_collision': wall,
             'final_observation': final_obs,
+            'reset_stalled': stalled,
+            'reset_trials': trials,
         }
         return new_state, out_obs, reward, terminated, truncated, info
 
+    step_fn.noise_planes = fused.noise_planes
     return step_fn
 
 
@@ -505,14 +523,20 @@ def step_autoreset(config: PushingConfig, params: PushingParams, state: PushingS
     done = terminated | truncated
 
     reset_key, carry_key = jax.random.split(new_state.key)
-    reset_state, reset_obs, _ = reset(config, params, reset_key)
+    reset_state, reset_obs, reset_info = reset(config, params, reset_key)
 
     from gymnasium_planar_robotics_tpu.models.planning import _where_done, autoreset_select
 
-    kept = autoreset_select(done, new_state, reset_state, carry_key)
-    out_obs = jax.tree_util.tree_map(lambda a, b: _where_done(done, b, a), obs, reset_obs)
+    # stalled object sampling => no restart this step; done re-fires next
+    # step and the sampler retries with a fresh key (vs. the reference's
+    # unbounded loop, benchmark_pushing_env.py:394-407)
+    do_reset = done & ~reset_info['reset_stalled']
+    kept = autoreset_select(do_reset, new_state, reset_state, carry_key)
+    out_obs = jax.tree_util.tree_map(lambda a, b: _where_done(do_reset, b, a), obs, reset_obs)
     info = dict(info)
     info['final_observation'] = obs
+    info['reset_stalled'] = done & reset_info['reset_stalled']
+    info['reset_trials'] = jnp.where(done, reset_info['reset_trials'], 0)
     return kept, out_obs, reward, terminated, truncated, info
 
 

@@ -90,3 +90,118 @@ def coulomb_floor_step(
     speed = jnp.linalg.norm(vel, axis=-1, keepdims=True)
     scale = jnp.maximum(0.0, 1.0 - mu_g_dt / jnp.maximum(speed, eps))
     return vel * scale
+
+
+class ContactForcesV2(NamedTuple):
+    f_obj: jnp.ndarray  # [..., 2] force on the object
+    f_mover: jnp.ndarray  # [..., 2] reaction on the mover
+    torque_obj: jnp.ndarray  # [...] z-torque on the object about its center
+    penetration: jnp.ndarray
+    in_contact: jnp.ndarray
+
+
+def box_push_contact_v2(
+    mover_xy: jnp.ndarray,
+    mover_vel: jnp.ndarray,
+    obj_xy: jnp.ndarray,
+    obj_vel: jnp.ndarray,
+    obj_yaw: jnp.ndarray,  # [...] object rotation about z
+    obj_w: jnp.ndarray,  # [...] object angular velocity
+    mover_half: jnp.ndarray,  # [2]
+    obj_half: jnp.ndarray,  # [2]
+    k_n: jnp.ndarray,
+    b_n: jnp.ndarray,
+    b_t: jnp.ndarray,
+    mu: jnp.ndarray,
+) -> ContactForcesV2:
+    """Corner-aware planar box-box penalty contact with object yaw.
+
+    Differences from v1 (``box_push_contact``), both calibrated against the
+    MuJoCo engine (reference ``benchmark_pushing_env.py:331-342``, elliptic
+    cone, box-box collider):
+
+    - the object's yaw enters the overlap test through its rotated AABB
+      extents (``|cos|·hx + |sin|·hy``); MuJoCo keeps the object within
+      ~0.01 rad of axis-aligned under pushes (floor friction of the flat
+      4-corner patch), so the mover-axis SAT tests dominate and the object's
+      own axes are not separately tested;
+    - the contact normal is the minimum-translation FACE normal (ties to x),
+      matching MuJoCo's box-box collider, which keeps a face normal even at
+      corner-corner overlap; the lateral motion at corners comes from the
+      sticky tangential friction, not a tilted normal — together with the
+      yaw state this fixes the diagonal-push divergence of the axis-aligned
+      model (6 cm -> ~1 cm over 10 steps);
+    - the normal force acts at the overlap-region center, so off-center and
+      corner contacts exert a yaw torque on the object.
+    """
+    cos = jnp.cos(obj_yaw)
+    sin = jnp.sin(obj_yaw)
+    # object's rotated AABB half-extents along the mover's (world) axes
+    rx = jnp.abs(cos) * obj_half[0] + jnp.abs(sin) * obj_half[1]
+    ry = jnp.abs(sin) * obj_half[0] + jnp.abs(cos) * obj_half[1]
+
+    d = obj_xy - mover_xy
+    olx = (mover_half[0] + rx) - jnp.abs(d[..., 0])
+    oly = (mover_half[1] + ry) - jnp.abs(d[..., 1])
+    in_contact = (olx > 0) & (oly > 0)
+    olx_c = jnp.maximum(olx, 0.0)
+    oly_c = jnp.maximum(oly, 0.0)
+
+    sx = jnp.where(d[..., 0] == 0, 1.0, jnp.sign(d[..., 0]))
+    sy = jnp.where(d[..., 1] == 0, 1.0, jnp.sign(d[..., 1]))
+    # minimum-translation FACE normal, ties to x — matching the MuJoCo
+    # box-box collider, which keeps a face normal even at corner-corner
+    # overlap (measured: a symmetric diagonal push resolves along +x first);
+    # the lateral motion at corners comes from the sticky tangential
+    # friction below, not from a tilted normal
+    axis_x = olx_c <= oly_c
+    n = jnp.stack(
+        [jnp.where(axis_x, sx, 0.0), jnp.where(axis_x, 0.0, sy)], axis=-1
+    )
+    pen = jnp.minimum(olx_c, oly_c)
+
+    # contact point = center of the overlap rectangle (world frame)
+    lo_x = jnp.maximum(mover_xy[..., 0] - mover_half[0], obj_xy[..., 0] - rx)
+    hi_x = jnp.minimum(mover_xy[..., 0] + mover_half[0], obj_xy[..., 0] + rx)
+    lo_y = jnp.maximum(mover_xy[..., 1] - mover_half[1], obj_xy[..., 1] - ry)
+    hi_y = jnp.minimum(mover_xy[..., 1] + mover_half[1], obj_xy[..., 1] + ry)
+    cpx = 0.5 * (lo_x + hi_x)
+    cpy = 0.5 * (lo_y + hi_y)
+
+    # relative velocity at the contact point (object rotation included)
+    r_ox = cpx - obj_xy[..., 0]
+    r_oy = cpy - obj_xy[..., 1]
+    v_obj_cx = obj_vel[..., 0] - obj_w * r_oy
+    v_obj_cy = obj_vel[..., 1] + obj_w * r_ox
+    vrx = v_obj_cx - mover_vel[..., 0]
+    vry = v_obj_cy - mover_vel[..., 1]
+    vn = vrx * n[..., 0] + vry * n[..., 1]
+    f_n_mag = jnp.maximum(0.0, k_n * pen - b_n * vn)
+
+    tx = -n[..., 1]
+    ty = n[..., 0]
+    vt = vrx * tx + vry * ty
+    f_t_mag = jnp.clip(-b_t * vt, -mu * f_n_mag, mu * f_n_mag)
+
+    cmask = in_contact.astype(pen.dtype)
+    fx = (f_n_mag * n[..., 0] + f_t_mag * tx) * cmask
+    fy = (f_n_mag * n[..., 1] + f_t_mag * ty) * cmask
+    torque = r_ox * fy - r_oy * fx
+
+    f_obj = jnp.stack([fx, fy], axis=-1)
+    return ContactForcesV2(
+        f_obj=f_obj,
+        f_mover=-f_obj,
+        torque_obj=torque,
+        penetration=pen * cmask,
+        in_contact=in_contact,
+    )
+
+
+def coulomb_spin_step(omega: jnp.ndarray, mu_spin_dt: jnp.ndarray) -> jnp.ndarray:
+    """Discrete Coulomb torsional floor friction: shrink |omega| by up to
+    ``mu_spin*dt`` toward zero (the flat 4-corner floor patch resists spin —
+    MuJoCo torsional friction, reference basic_envs.py:1132 cone + object
+    friction defaults)."""
+    mag = jnp.abs(omega)
+    return jnp.sign(omega) * jnp.maximum(0.0, mag - mu_spin_dt)

@@ -65,17 +65,25 @@ def acceleration_cycle(
     action: jnp.ndarray,
     v_max: float,
     dt: float,
+    accel_scale: jnp.ndarray | float = 1.0,
 ) -> CycleResult:
     """One 1 ms control cycle in acceleration mode.
 
     ``vel_measured`` is the (possibly noisy) velocity reading used for the
     clamp (benchmark_planning_env.py:430, 442); the true state integrates the
     resulting control exactly.
+
+    ``accel_scale`` is gain-mass / total-body-mass: the actuator gain is the
+    configured mover mass (benchmark_planning_env.py:303-321) but a bumper
+    geom adds its own mass to the body (basic_envs.py:911-925), so the real
+    qacc is the commanded acceleration scaled by m_gain/(m_mover+m_bumper).
+    1.0 (no bumper) multiplies exactly (IEEE), keeping the bit-exact path.
     """
     _, acc_cmd = ensure_max_dyn_val(vel_measured, v_max, action, dt)
-    new_vel = vel + dt * acc_cmd
+    qacc = accel_scale * acc_cmd
+    new_vel = vel + dt * qacc
     new_pos = pos + dt * new_vel
-    return CycleResult(new_pos, new_vel, acc_cmd, jnp.zeros_like(acc_cmd))
+    return CycleResult(new_pos, new_vel, qacc, jnp.zeros_like(acc_cmd))
 
 
 def jerk_cycle(
@@ -87,6 +95,7 @@ def jerk_cycle(
     v_max: float,
     a_max: float,
     dt: float,
+    accel_scale: jnp.ndarray | float = 1.0,
 ) -> CycleResult:
     """One 1 ms control cycle in jerk mode.
 
@@ -96,8 +105,14 @@ def jerk_cycle(
     bound the candidate acceleration to ``a_max``, then bound the resulting
     velocity to ``v_max``; if the velocity clamp changed the acceleration,
     re-derive the jerk from the acceleration actually needed.
+
+    ``accel_scale``: see ``acceleration_cycle`` — the activation integrates
+    in control space, the body accelerates at ``accel_scale * act``.  The
+    clamp chain reads the REAL qacc (``get_mover_qacc``,
+    benchmark_planning_env.py:433) == ``accel_scale * act``; with no bumper
+    the two coincide.
     """
-    acc_meas = act
+    acc_meas = accel_scale * act
     acc_tmp, jerk_1 = ensure_max_dyn_val(acc_meas, a_max, action, dt)
     _, acc_final = ensure_max_dyn_val(vel_measured, v_max, acc_tmp, dt)
     vel_clamped = (acc_final != acc_tmp).any(axis=-1, keepdims=True)
@@ -105,6 +120,7 @@ def jerk_cycle(
 
     # MuJoCo integrator actuator with actearly: act += dt * ctrl, then F = m * act
     new_act = act + dt * jerk_ctrl
-    new_vel = vel + dt * new_act
+    qacc = accel_scale * new_act
+    new_vel = vel + dt * qacc
     new_pos = pos + dt * new_vel
-    return CycleResult(new_pos, new_vel, new_act, new_act)
+    return CycleResult(new_pos, new_vel, qacc, new_act)

@@ -1,7 +1,12 @@
 """Fused Pallas step vs. the XLA scan path (interpret mode on CPU).
 
-Bit-exact state match at std_noise=0 (same arithmetic, noise unused);
-distributional match of collision behavior at std_noise>0.
+Bit-exact state match at std_noise=0 (same arithmetic, noise unused).
+Stochastic behavior — Box-Muller sensor noise, per-cycle collision checks,
+in-kernel reset sampling — is exercised through the kernels' injected-noise
+mode: pre-drawn uniform planes enter as a kernel input and flow through the
+exact production Box-Muller/sampling code (interpret mode's emulated hardware
+PRNG returns all-zero bits, so the hw-PRNG mode can only be validated on a
+real chip — see the verify drive).
 """
 
 import numpy as np
@@ -14,12 +19,12 @@ from gymnasium_planar_robotics_tpu.models import planning
 from gymnasium_planar_robotics_tpu.ops import pallas_step
 
 
-def _mk(std=0.0, learn_jerk=False, layout=None):
+def _mk(std=0.0, learn_jerk=False, layout=None, num_cycles=40):
     return planning.make_planning_env(
         np.ones((3, 3)) if layout is None else layout,
         1,
         std_noise=std,
-        num_cycles=40,
+        num_cycles=num_cycles,
         v_max=1.0,
         a_max=8.0,
         j_max=80.0,
@@ -31,6 +36,10 @@ def _mk(std=0.0, learn_jerk=False, layout=None):
 def _random_states(config, params, b, seed=0):
     state, obs, _ = planning.init_batch(config, params, jax.random.PRNGKey(seed), b)
     return state
+
+
+def _uniforms(key, n_planes, b):
+    return jax.random.uniform(key, (n_planes, b), jnp.float32)
 
 
 @pytest.mark.parametrize('learn_jerk', [False, True])
@@ -75,20 +84,140 @@ def test_fused_matches_xla_multi_step_holed_layout():
         state = xs
 
 
-def test_fused_noise_distribution_matches():
-    """With std>0 the streams differ; wall-collision rates and mean speeds
-    must agree distributionally."""
-    config, params = _mk(std=3e-3)
-    b = 1024
-    state = _random_states(config, params, b, seed=7)
+def test_supports_gate():
+    config, params = planning.make_planning_env(np.ones((3, 3)), 2, dtype=jnp.float32)
+    assert not pallas_step.supports(config, params)  # M=2
+    config, params = planning.make_planning_env(
+        np.ones((3, 3)), 1, dtype=jnp.float32, collision_params={'shape': 'box', 'size': np.array([0.09, 0.09])}
+    )
+    assert pallas_step.supports(config, params)  # box shape is in-kernel now
+    config, params = planning.make_planning_env(np.ones((3, 3)), 1, dtype=jnp.float64)
+    assert not pallas_step.supports(config, params)  # f64 parity mode -> XLA
+
+
+def test_fused_box_shape_matches_xla_and_resets():
+    """Box collision shape in-kernel: rotated-vertex wall checks + corner
+    rect tests bit-match ``ops/walls`` at std=0 on a holed layout, and the
+    in-kernel box autoreset restarts at box-valid positions."""
+    from gymnasium_planar_robotics_tpu.ops import walls
+    from gymnasium_planar_robotics_tpu.models.common import IDENTITY_QUAT
+
+    import dataclasses
+
+    layout = np.array([[1, 1, 1], [1, 1, 0], [1, 1, 1]])
+    config, params = planning.make_planning_env(
+        layout, 1, std_noise=0.0, num_cycles=8, v_max=1.0, a_max=8.0, dtype=jnp.float32,
+        collision_params={'shape': 'box', 'size': np.array([0.09, 0.08])},
+    )
+    assert pallas_step.supports(config, params)
+    b = 128
+    # plant against the missing-tile wall: both the edge tests and the
+    # missing-corner rectangle tests fire within 2 steps
+    ys = np.linspace(0.30, 0.42, b)
+    plant = np.stack([np.full(b, 0.55), ys], axis=-1)[:, None, :]
+    keys = jax.random.split(jax.random.PRNGKey(31), b)
+    state, _, _ = jax.vmap(lambda k, s: planning.reset(config, params, k, start_xy=s))(
+        keys, jnp.asarray(plant, jnp.float32)
+    )
     fused_step = planning.make_fused_step(config, params, interpret=True)
+    key = jax.random.PRNGKey(33)
+    hit_any = False
+    for t in range(3):
+        actions = jnp.tile(jnp.asarray([6.0, 2.0], jnp.float32), (b, 1))
+        xs, _, _, xt, _, xi = planning.batched_step(config, params, state, actions)
+        fs, _, _, ft, _, fi = fused_step(state, actions)
+        np.testing.assert_array_equal(np.asarray(fs.pos), np.asarray(xs.pos), err_msg=f't={t}')
+        np.testing.assert_array_equal(
+            np.asarray(fi['wall_collision']), np.asarray(xi['wall_collision']), err_msg=f't={t}'
+        )
+        hit_any = hit_any or bool(np.asarray(xi['wall_collision']).any())
+        state = xs
+    assert hit_any, 'no box wall collision ever fired'
+
+    # in-kernel box autoreset: restarts are box-valid at the sampling size
+    # (small cand_k keeps the interpret-mode box-validity unrolls cheap)
+    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True, cand_k=4)
+    state = _random_states(config, params, b, seed=35)
+    actions = jnp.zeros((b, 2), jnp.float32)
+    starts = []
+    for t in range(2):
+        state = dataclasses.replace(state, steps=jnp.full((b,), config.max_episode_steps - 1, jnp.int32))
+        key, kn = jax.random.split(key)
+        u = _uniforms(kn, step.noise_planes, b)
+        state, obs, rew, term, trunc, info = step(state, actions, noise=u)
+        fresh = (np.asarray(term) | np.asarray(trunc)) & ~np.asarray(info['reset_stalled'])
+        if fresh.any():
+            starts.append(np.asarray(state.pos)[fresh, 0])
+    starts = np.concatenate(starts)
+    assert len(starts) > 100
+    c_sample = np.asarray(params.c_size).reshape(1, 2) + float(params.c_offset) + float(params.c_offset_wall)
+    quat = jnp.tile(jnp.asarray([IDENTITY_QUAT], jnp.float32), (len(starts), 1))
+    valid = np.asarray(
+        walls.qpos_is_valid(
+            params.grid, jnp.asarray(starts), jnp.broadcast_to(c_sample, (len(starts), 2)),
+            quat=quat, collision_shape='box',
+        )
+    )
+    assert valid.all(), 'a box-shape reset restarted at a wall-invalid pose'
+
+
+# ---------------------------------------------------------------------------
+# noise machinery (injected-noise mode)
+# ---------------------------------------------------------------------------
+
+
+def test_box_muller_matches_numpy_oracle_and_moments():
+    """The kernels' Box-Muller, fed known uniforms, must reproduce the NumPy
+    float32 oracle value-for-value and have standard-normal moments."""
+    draws = 8
+    b = 4096
+    probe = pallas_step.make_noise_probe(draws=draws, interpret=True, inject_noise=True)
+    u = np.asarray(jax.random.uniform(jax.random.PRNGKey(0), (2 * draws, b), jnp.float32))
+    got = np.asarray(probe(0, noise=jnp.asarray(u)))  # [2*draws, b]
+
+    # NumPy float32 oracle of the exact kernel arithmetic
+    for d in range(draws):
+        u1 = (np.float32(1.0) - u[2 * d]).astype(np.float32)
+        u2 = u[2 * d + 1]
+        r = np.sqrt(np.float32(-2.0) * np.log(u1), dtype=np.float32)
+        exp_a = r * np.cos(np.float32(2 * np.pi) * u2, dtype=np.float32)
+        exp_b = r * np.sin(np.float32(2 * np.pi) * u2, dtype=np.float32)
+        np.testing.assert_allclose(got[2 * d], exp_a, rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(got[2 * d + 1], exp_b, rtol=2e-5, atol=2e-6)
+
+    flat = got.reshape(-1)  # 65k samples
+    assert abs(flat.mean()) < 0.02
+    assert abs(flat.std() - 1.0) < 0.02
+    # tails exist (PRNG-stuck-at-zero would give constants)
+    assert (np.abs(flat) > 2.0).mean() > 0.02
+
+
+def test_fused_noise_flows_and_matches_xla_distribution():
+    """std>0 with injected uniforms: the fused path's collision rates and
+    speeds must match the XLA path distributionally — and must MOVE when the
+    noise does (guards against a silently-dead noise path, the round-1
+    vacuous-test failure mode)."""
+    config, params = _mk(std=3e-3)
+    b = 512
+    state = _random_states(config, params, b, seed=7)
+    fused_step = planning.make_fused_step(config, params, interpret=True, inject_noise=True)
     actions = jnp.tile(jnp.asarray([6.0, 0.0], jnp.float32), (b, 1))  # drive at the wall
 
     walls_x, walls_f, speed_x, speed_f = [], [], [], []
     sx = sf = state
-    for t in range(6):
+    key = jax.random.PRNGKey(11)
+    zero_vel = None
+    for t in range(5):
+        key, kn = jax.random.split(key)
+        u = _uniforms(kn, fused_step.noise_planes, b)
         sx2, _, _, _, _, ix = planning.batched_step(config, params, sx, actions)
-        sf2, _, _, _, _, iff = fused_step(sf, actions)
+        sf2, _, _, _, _, iff = fused_step(sf, actions, noise=u)
+        if t == 0:
+            # same step with all-zero uniforms (Box-Muller gives r=0 => zero
+            # normals): the state must differ from the noisy run => noise
+            # actually flows through the kernel
+            sf_zero, *_ = fused_step(sf, actions, noise=jnp.zeros_like(u))
+            zero_vel = np.asarray(sf_zero.vel)
         walls_x.append(np.asarray(ix['wall_collision']).mean())
         walls_f.append(np.asarray(iff['wall_collision']).mean())
         speed_x.append(np.linalg.norm(np.asarray(sx2.vel), axis=-1).mean())
@@ -96,28 +225,187 @@ def test_fused_noise_distribution_matches():
         sx, sf = sx2, sf2
     np.testing.assert_allclose(np.mean(speed_x), np.mean(speed_f), rtol=0.02)
     np.testing.assert_allclose(np.mean(walls_x), np.mean(walls_f), atol=0.03)
+    # wall slams actually happened on both engines (the comparison is not 0 == 0)
+    assert np.mean(walls_x) > 0.01 and np.mean(walls_f) > 0.01
+    assert np.abs(np.asarray(sf.vel) - zero_vel).max() > 0  # noise reached the state
 
 
-def test_supports_gate():
-    config, params = planning.make_planning_env(np.ones((3, 3)), 2, dtype=jnp.float32)
-    assert not pallas_step.supports(config, params)  # M=2
+def test_injected_reset_sampling_wall_valid_and_uniform():
+    """In-kernel reset draws (planning, holed layout): every restart must be
+    wall-valid at the inflated sampling radius, and accepted draws must cover
+    the valid region uniformly."""
+    from gymnasium_planar_robotics_tpu.ops import walls
+
+    layout = np.array([[1, 1, 1], [1, 0, 1], [1, 1, 1]])
     config, params = planning.make_planning_env(
-        np.ones((3, 3)), 1, dtype=jnp.float32, collision_params={'shape': 'box', 'size': np.array([0.07, 0.07])}
+        layout, 1, std_noise=1e-5, num_cycles=10, dtype=jnp.float32,
+        collision_params={'shape': 'circle', 'size': 0.05, 'offset': 0.0, 'offset_wall': 0.0},
     )
-    assert not pallas_step.supports(config, params)  # box shape
+    import dataclasses
+
+    b = 512
+    state = _random_states(config, params, b, seed=13)
+    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True)
+    actions = jnp.zeros((b, 2), jnp.float32)
+
+    c_sample = params.c_size + params.c_offset + params.c_offset_wall
+    starts, goals = [], []
+    key = jax.random.PRNGKey(17)
+    for t in range(4):
+        # pin the step counter at the limit: every env truncates and restarts
+        state = dataclasses.replace(
+            state, steps=jnp.full((b,), config.max_episode_steps - 1, jnp.int32)
+        )
+        key, kn = jax.random.split(key)
+        u = _uniforms(kn, step.noise_planes, b)
+        state, obs, rew, term, trunc, info = step(state, actions, noise=u)
+        done = np.asarray(term) | np.asarray(trunc)
+        assert done.all()
+        fresh = done & ~np.asarray(info['reset_stalled'])
+        if fresh.any():
+            starts.append(np.asarray(state.pos)[fresh, 0])
+            goals.append(np.asarray(state.goals)[fresh, 0])
+            # restarted trials reported
+            assert (np.asarray(info['reset_trials'])[fresh] >= 2).all()
+    starts = np.concatenate(starts)
+    goals = np.concatenate(goals)
+    assert len(starts) > 200, 'wall slams should restart most envs'
+
+    # exact oracle of the acceptance region: uniform draws filtered by the
+    # same (XLA) wall validity the sampler uses — first-accepted-of-K has the
+    # identical distribution to pure rejection sampling
+    rng = np.random.default_rng(0)
+    cand = rng.uniform(np.asarray(params.min_xy), np.asarray(params.max_xy), (20000, 2)).astype(np.float32)
+    ok = np.asarray(
+        walls.qpos_is_valid(params.grid, jnp.asarray(cand), jnp.broadcast_to(c_sample, (len(cand),)))
+    )
+    oracle = cand[ok]
+    cx = float(params.max_xy[0] + params.min_xy[0]) / 2
+    cy = float(params.max_xy[1] + params.min_xy[1]) / 2
+
+    def quadrants(pts):
+        return np.array([
+            ((pts[:, 0] < cx) & (pts[:, 1] < cy)).mean(),
+            ((pts[:, 0] < cx) & (pts[:, 1] >= cy)).mean(),
+            ((pts[:, 0] >= cx) & (pts[:, 1] < cy)).mean(),
+            ((pts[:, 0] >= cx) & (pts[:, 1] >= cy)).mean(),
+        ])
+
+    q_oracle = quadrants(oracle)
+    for pts in (starts, goals):
+        valid = np.asarray(
+            walls.qpos_is_valid(params.grid, jnp.asarray(pts), jnp.broadcast_to(c_sample, (len(pts),)))
+        )
+        assert valid.all(), 'an in-kernel reset restarted at a wall-invalid position'
+        q = quadrants(pts)
+        assert (np.abs(q - q_oracle) < 0.08).all(), f'reset draws diverge from the oracle: {q} vs {q_oracle}'
+        # the sampler covers the acceptance region's extremes too
+        assert pts[:, 0].min() < float(params.min_xy[0]) + 0.05
+        assert pts[:, 0].max() > float(params.max_xy[0]) - 0.05
+
+
+def test_reset_stall_reported_and_env_not_reset():
+    """Engineered all-invalid reset draws: the env must NOT restart (state
+    and step counter carry over), and info must flag the stall."""
+    layout = np.array([[1, 1, 1], [1, 0, 1], [1, 1, 1]])
+    config, params = planning.make_planning_env(
+        layout, 1, std_noise=1e-5, num_cycles=10, dtype=jnp.float32,
+    )
+    b = 128
+    state = _random_states(config, params, b, seed=19)
+    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True)
+    actions = jnp.tile(jnp.asarray([8.0, 0.0], jnp.float32), (b, 1))
+
+    n_cycle = 4 * config.num_cycles
+    key = jax.random.PRNGKey(23)
+    stalled_seen = False
+    for t in range(6):
+        key, kn = jax.random.split(key)
+        u = np.array(_uniforms(kn, step.noise_planes, b))
+        # overwrite every reset-sampling draw with 0.5 -> the layout hole's
+        # center -> wall-invalid for every candidate (obs planes stay random)
+        u[n_cycle + 4 : n_cycle + 4 + 4 * 16] = 0.5
+        prev_steps = np.asarray(state.steps)
+        prev_pos = np.asarray(state.pos)
+        state, obs, rew, term, trunc, info = step(state, actions, noise=jnp.asarray(u))
+        done = np.asarray(term) | np.asarray(trunc)
+        stalled = np.asarray(info['reset_stalled'])
+        if done.any():
+            stalled_seen = True
+            np.testing.assert_array_equal(stalled, done)  # every done env stalled
+            # not reset: counter advanced, trials exhausted, position is the
+            # physical post-cycle one (not the hole center)
+            assert (np.asarray(state.steps)[done] == prev_steps[done] + 1).all()
+            assert (np.asarray(info['reset_trials'])[done] == 32).all()
+            hole_center = (float(params.min_xy[0]) + float(params.max_xy[0])) / 2
+            assert not np.isclose(np.asarray(state.pos)[done, 0, 0], hole_center, atol=1e-3).any()
+        assert (~stalled[~done]).all()
+        del prev_pos
+    assert stalled_seen, 'wall slam never finished an episode'
+
+
+def test_injected_pushing_reset_respects_min_distance():
+    import dataclasses
+
+    from gymnasium_planar_robotics_tpu.models import pushing
+
+    config, params = pushing.make_pushing_env(std_noise=1e-5, num_cycles=10, dtype=jnp.float32)
+    b = 256
+    state, obs, _ = pushing.init_batch(config, params, jax.random.PRNGKey(29), b)
+    step = pushing.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True)
+    actions = jnp.zeros((b, 2), jnp.float32)
+    key = jax.random.PRNGKey(31)
+    movers, objs, goals = [], [], []
+    for t in range(4):
+        state = dataclasses.replace(
+            state, steps=jnp.full((b,), config.max_episode_steps - 1, jnp.int32)
+        )
+        key, kn = jax.random.split(key)
+        u = _uniforms(kn, step.noise_planes, b)
+        state, obs, rew, term, trunc, info = step(state, actions, noise=u)
+        done = np.asarray(term) | np.asarray(trunc)
+        assert done.all()
+        fresh = done & ~np.asarray(info['reset_stalled'])
+        if fresh.any():
+            movers.append(np.asarray(state.pos)[fresh])
+            objs.append(np.asarray(state.obj_pos)[fresh])
+            goals.append(np.asarray(state.goal)[fresh])
+    movers, objs, goals = map(np.concatenate, (movers, objs, goals))
+    assert len(movers) > 100
+    # reference acceptance rule: object strictly farther than min_mo_dist
+    # from the freshly placed mover (benchmark_pushing_env.py:394-407)
+    d = np.linalg.norm(objs - movers, axis=-1)
+    assert (d > float(params.min_mo_dist) - 1e-6).all()
+    # mover uniform over [min_xy, max_xy]; object/goal over the inner box
+    for pts, lo, hi in ((movers, params.min_xy, params.max_xy),
+                        (objs, params.obj_min_xy, params.obj_max_xy),
+                        (goals, params.obj_min_xy, params.obj_max_xy)):
+        lo, hi = np.asarray(lo), np.asarray(hi)
+        assert (pts >= lo - 1e-5).all() and (pts <= hi + 1e-5).all()
+    # goals are unconstrained uniforms: mean near box center
+    center = (np.asarray(params.obj_min_xy) + np.asarray(params.obj_max_xy)) / 2
+    span = np.asarray(params.obj_max_xy) - np.asarray(params.obj_min_xy)
+    assert (np.abs(goals.mean(0) - center) < 0.15 * span).all()
+
+
+# ---------------------------------------------------------------------------
+# autoreset mechanics (injected noise; noise-independent invariants)
+# ---------------------------------------------------------------------------
 
 
 def test_fused_autoreset_restarts_episodes():
     config, params = _mk(std=1e-5)
     b = 128
     state = _random_states(config, params, b, seed=11)
-    step = planning.make_fused_step_autoreset(config, params, interpret=True)
+    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True)
     actions = jnp.tile(jnp.asarray([8.0, 0.0], jnp.float32), (b, 1))  # slam the wall
     terminated_any = False
+    key = jax.random.PRNGKey(37)
     for _ in range(8):
-        state, obs, rew, term, trunc, info = step(state, actions)
+        key, kn = jax.random.split(key)
+        state, obs, rew, term, trunc, info = step(state, actions, noise=_uniforms(kn, step.noise_planes, b))
         terminated_any = terminated_any or bool(np.asarray(term).any())
-        done = np.asarray(term) | np.asarray(trunc)
+        done = (np.asarray(term) | np.asarray(trunc)) & ~np.asarray(info['reset_stalled'])
         assert (np.asarray(state.steps)[done] == 0).all()
         # restarted envs are inside the sampling region again
         pos = np.asarray(state.pos)[done]
@@ -125,6 +413,58 @@ def test_fused_autoreset_restarts_episodes():
             assert (pos >= np.asarray(params.min_xy) - 1e-6).all()
             assert (pos <= np.asarray(params.max_xy) + 1e-6).all()
     assert terminated_any, 'wall slam never terminated an episode'
+
+
+@pytest.mark.parametrize('learn_jerk', [False, True])
+def test_fused_single_autoreset_matches_xla_zero_noise(learn_jerk):
+    """1-mover in-kernel autoreset (acc AND jerk): cycle physics, collision
+    flags, and rewards bit-match the XLA step on non-restarted lanes."""
+    config, params = _mk(std=0.0, learn_jerk=learn_jerk, num_cycles=12)
+    b = 128
+    state = _random_states(config, params, b, seed=21)
+    limit = 80.0 if learn_jerk else 8.0
+    actions = jax.random.uniform(jax.random.PRNGKey(22), (b, 2), jnp.float32, -limit, limit)
+
+    xs, xo, xr, xt, _, xi = planning.batched_step(config, params, state, actions)
+    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True)
+    u = _uniforms(jax.random.PRNGKey(23), step.noise_planes, b)
+    fs, fo, fr, ft, ftr, fi = step(state, actions, noise=u)
+
+    live = ~np.asarray(xt)
+    np.testing.assert_array_equal(np.asarray(fs.pos)[live], np.asarray(xs.pos)[live])
+    np.testing.assert_array_equal(np.asarray(fs.vel)[live], np.asarray(xs.vel)[live])
+    np.testing.assert_array_equal(np.asarray(fs.acc)[live], np.asarray(xs.acc)[live])
+    np.testing.assert_array_equal(np.asarray(fi['wall_collision']), np.asarray(xi['wall_collision']))
+    np.testing.assert_array_equal(np.asarray(fr), np.asarray(xr))
+    if learn_jerk:
+        np.testing.assert_array_equal(np.asarray(fs.act)[live], np.asarray(xs.act)[live])
+        assert fo['observation'].shape == (b, 4)
+        np.testing.assert_array_equal(
+            np.asarray(fo['observation'])[live, 2:], np.asarray(fs.acc)[live, 0]
+        )
+    else:
+        assert fo['observation'].shape == (b, 2)
+
+
+def test_fused_dense_reward_matches_xla():
+    """Dense reward mode runs in-kernel too: at std=0 the fused autoreset
+    reward equals the XLA dense reward on every lane (both compute it from
+    the pre-reset observation)."""
+    config, params = planning.make_planning_env(
+        np.ones((3, 3)), 1, std_noise=0.0, num_cycles=12, v_max=1.0, a_max=8.0,
+        reward_mode='dense', dtype=jnp.float32,
+    )
+    b = 128
+    state = _random_states(config, params, b, seed=25)
+    actions = jax.random.uniform(jax.random.PRNGKey(26), (b, 2), jnp.float32, -8.0, 8.0)
+
+    xs, _, xr, xt, _, xi = planning.batched_step(config, params, state, actions)
+    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True)
+    u = _uniforms(jax.random.PRNGKey(27), step.noise_planes, b)
+    fs, fo, fr, ft, ftr, fi = step(state, actions, noise=u)
+
+    np.testing.assert_allclose(np.asarray(fr), np.asarray(xr), rtol=1e-6, atol=1e-6)
+    assert (np.asarray(xr) < 0).any(), 'dense rewards should be negative distances'
 
 
 # ---------------------------------------------------------------------------
@@ -173,43 +513,27 @@ def test_fused_pushing_matches_xla_at_zero_noise(learn_jerk):
     assert (np.abs(np.asarray(fs.obj_pos - state.obj_pos)) > 1e-5).any()
 
 
-def test_fused_pushing_autoreset():
+@pytest.mark.parametrize('learn_jerk', [False, True])
+def test_fused_pushing_inkernel_autoreset_semantics(learn_jerk):
+    """In-kernel reset (acc AND jerk modes) with injected noise: step
+    counters, goal switching, final-obs bookkeeping, reward values."""
     from gymnasium_planar_robotics_tpu.models import pushing
 
-    config, params = _mk_push(std=1e-5)
-    b = 128
-    state, obs, _ = pushing.init_batch(config, params, jax.random.PRNGKey(2), b)
-    step = pushing.make_fused_step_autoreset(config, params, interpret=True)
-    actions = jnp.tile(jnp.asarray([8.0, 0.0], jnp.float32), (b, 1))
-    hit = False
-    for _ in range(8):
-        state, obs, rew, term, trunc, info = step(state, actions)
-        hit = hit or bool(np.asarray(term).any())
-        done = np.asarray(term) | np.asarray(trunc)
-        assert (np.asarray(state.steps)[done] == 0).all()
-    assert hit
-
-
-def test_fused_pushing_inkernel_autoreset_semantics():
-    """In-kernel reset (acc mode): noise-independent invariants.
-
-    NOTE: interpret mode's hardware PRNG yields all-zero bits, so sampled
-    values degenerate to the range minimum here — value distributions are
-    validated on real TPU (see the verify drive); this test checks the
-    mechanics: step counters, goal switching, final-obs bookkeeping.
-    """
-    from gymnasium_planar_robotics_tpu.models import pushing
-
-    config, params = _mk_push(std=0.0)
+    config, params = _mk_push(std=0.0, learn_jerk=learn_jerk)
     b = 256
     state, obs, _ = pushing.init_batch(config, params, jax.random.PRNGKey(3), b)
-    step = pushing.make_fused_step_autoreset(config, params, interpret=True)
-    actions = jnp.tile(jnp.asarray([9.0, 0.0], jnp.float32), (b, 1))
+    step = pushing.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True)
+    drive = 70.0 if learn_jerk else 9.0
+    actions = jnp.tile(jnp.asarray([drive, 0.0], jnp.float32), (b, 1))
+    assert_obs_dim = 6 if learn_jerk else 4
     resets = 0
+    key = jax.random.PRNGKey(41)
     for t in range(6):
+        key, kn = jax.random.split(key)
         prev_goal = np.asarray(state.goal)
-        state, obs, rew, term, trunc, info = step(state, actions)
-        done = np.asarray(term) | np.asarray(trunc)
+        state, obs, rew, term, trunc, info = step(state, actions, noise=_uniforms(kn, step.noise_planes, b))
+        assert obs['observation'].shape == (b, assert_obs_dim)
+        done = (np.asarray(term) | np.asarray(trunc)) & ~np.asarray(info['reset_stalled'])
         resets += int(done.sum())
         keep = ~done
         assert (np.asarray(state.steps)[done] == 0).all()
@@ -227,27 +551,42 @@ def test_fused_pushing_inkernel_autoreset_semantics():
     assert resets > 0, 'no episode ever restarted'
 
 
+def _planted_multi_state(config, params, b, starts, seed=5):
+    """Batched state with every env's movers planted at ``starts`` [M, 2]."""
+    keys = jax.random.split(jax.random.PRNGKey(seed), b)
+    state, _, _ = jax.vmap(
+        lambda k: planning.reset(config, params, k, start_xy=jnp.asarray(starts, jnp.float32))
+    )(keys)
+    return state
+
+
 def test_fused_multi_mover_autoreset_mechanics():
-    """M=3 in-kernel autoreset: noise-independent mechanics (interpret mode
-    PRNG yields zeros — value distributions validated on device)."""
+    """M=3 in-kernel autoreset with injected noise: collisions, counters,
+    goal bookkeeping, reward values.  Movers planted close so head-on
+    actions collide within a few short steps (keeps interpret time low)."""
     config, params = planning.make_planning_env(
-        np.ones((4, 4)), 3, std_noise=0.0, num_cycles=40, dtype=jnp.float32
+        np.ones((4, 4)), 3, std_noise=0.0, num_cycles=12, dtype=jnp.float32
     )
     b = 128
-    state, obs, _ = planning.init_batch(config, params, jax.random.PRNGKey(5), b)
-    step = planning.make_fused_step_autoreset(config, params, interpret=True)
+    starts = np.array([[0.5, 0.5], [0.82, 0.5], [0.5, 0.95]])
+    state = _planted_multi_state(config, params, b, starts)
+    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True)
     # drive movers 0 and 1 into each other
     actions = jnp.tile(jnp.asarray([[6.0, 0.0], [-6.0, 0.0], [0.0, 2.0]], jnp.float32), (b, 1, 1))
     collided_any = False
-    for t in range(6):
+    key = jax.random.PRNGKey(43)
+    for t in range(4):
+        key, kn = jax.random.split(key)
         prev_goal = np.asarray(state.goals)
-        state, o, r, te, tr, info = step(state, actions.reshape(b, -1))
-        done = np.asarray(te) | np.asarray(tr)
+        state, o, r, te, tr, info = step(
+            state, actions.reshape(b, -1), noise=_uniforms(kn, step.noise_planes, b)
+        )
+        done = (np.asarray(te) | np.asarray(tr)) & ~np.asarray(info['reset_stalled'])
         collided_any = collided_any or bool(
             (np.asarray(info['mover_collision']) | np.asarray(info['wall_collision'])).any()
         )
         assert (np.asarray(state.steps)[done] == 0).all()
-        keep = ~done
+        keep = ~(np.asarray(te) | np.asarray(tr))
         np.testing.assert_allclose(np.asarray(state.goals)[keep], prev_goal[keep], atol=1e-6)
         np.testing.assert_allclose(
             np.asarray(info['final_observation']['desired_goal']), prev_goal.reshape(b, -1), atol=1e-6
@@ -261,25 +600,35 @@ def test_fused_multi_mover_autoreset_mechanics():
     assert collided_any, 'head-on movers never collided'
 
 
-def test_fused_multi_matches_xla_single_step_zero_noise():
+@pytest.mark.parametrize('learn_jerk', [False, True])
+def test_fused_multi_matches_xla_single_step_zero_noise(learn_jerk):
     """M=2, std=0: kernel cycle physics must match the XLA step bit-exactly
-    (state only; obs/reset streams differ)."""
+    (state only; obs/reset streams differ) — both actuation modes."""
     config, params = planning.make_planning_env(
-        np.ones((4, 4)), 2, std_noise=0.0, num_cycles=40, dtype=jnp.float32
+        np.ones((4, 4)), 2, std_noise=0.0, num_cycles=12, learn_jerk=learn_jerk, dtype=jnp.float32
     )
     b = 128
     state, obs, _ = planning.init_batch(config, params, jax.random.PRNGKey(9), b)
-    actions = jax.random.uniform(jax.random.PRNGKey(1), (b, 4), jnp.float32, -8.0, 8.0)
+    limit = 100.0 if learn_jerk else 8.0
+    actions = jax.random.uniform(jax.random.PRNGKey(1), (b, 4), jnp.float32, -limit, limit)
 
     xs, _, xr, xt, _, xi = planning.batched_step(config, params, state, actions)
-    step = planning.make_fused_step_autoreset(config, params, interpret=True)
-    fs, fo, fr, ft, ftr, fi = step(state, actions)
+    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True)
+    u = _uniforms(jax.random.PRNGKey(2), step.noise_planes, b)
+    fs, fo, fr, ft, ftr, fi = step(state, actions, noise=u)
 
     # compare only envs the XLA path did NOT terminate (the fused path resets
     # terminated envs in place)
     live = ~(np.asarray(xt))
     np.testing.assert_array_equal(np.asarray(fs.pos)[live], np.asarray(xs.pos)[live])
     np.testing.assert_array_equal(np.asarray(fs.vel)[live], np.asarray(xs.vel)[live])
+    np.testing.assert_array_equal(np.asarray(fs.acc)[live], np.asarray(xs.acc)[live])
+    if learn_jerk:
+        np.testing.assert_array_equal(np.asarray(fs.act)[live], np.asarray(xs.act)[live])
+        # jerk-mode observation carries [vel, acc] per mover
+        np.testing.assert_array_equal(
+            np.asarray(fo['observation'])[live, 4:], np.asarray(fs.acc)[live].reshape(-1, 4)
+        )
     np.testing.assert_array_equal(
         np.asarray(fi['wall_collision']), np.asarray(xi['wall_collision'])
     )
@@ -287,3 +636,33 @@ def test_fused_multi_matches_xla_single_step_zero_noise():
         np.asarray(fi['mover_collision']), np.asarray(xi['mover_collision'])
     )
     np.testing.assert_array_equal(np.asarray(fr), np.asarray(xr))
+
+
+def test_fused_multi_per_mover_radii_matches_xla():
+    """Per-mover collision radii: fused cycle physics + collision flags match
+    the XLA path at std=0 (radii differ per mover, so this catches any
+    uniform-radius assumption left in the kernel)."""
+    config, params = planning.make_planning_env(
+        np.ones((4, 4)), 2, std_noise=0.0, num_cycles=12, dtype=jnp.float32,
+        collision_params={'shape': 'circle', 'size': np.array([0.11, 0.14])},
+    )
+    b = 128
+    # 1.5 mm gap between the inflated radii (0.11 + 0.14): head-on at
+    # +-6 m/s^2 the movers close ~0.4/1.3 mm in steps 1/2 (12 ms each)
+    state = _planted_multi_state(config, params, b, np.array([[0.5, 0.5], [0.7515, 0.5]]), seed=14)
+    actions = jnp.tile(jnp.asarray([[6.0, 0.0], [-6.0, 0.0]], jnp.float32), (b, 1, 1)).reshape(b, 4)
+    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True)
+
+    collided = False
+    for t in range(4):
+        xs, _, xr, xt, _, xi = planning.batched_step(config, params, state, actions)
+        u = _uniforms(jax.random.PRNGKey(15 + t), step.noise_planes, b)
+        fs, fo, fr, ft, ftr, fi = step(state, actions, noise=u)
+        live = ~(np.asarray(xt))
+        np.testing.assert_array_equal(np.asarray(fs.pos)[live], np.asarray(xs.pos)[live])
+        np.testing.assert_array_equal(np.asarray(fi['mover_collision']), np.asarray(xi['mover_collision']))
+        np.testing.assert_array_equal(np.asarray(fi['wall_collision']), np.asarray(xi['wall_collision']))
+        np.testing.assert_array_equal(np.asarray(fr), np.asarray(xr))
+        collided = collided or bool(np.asarray(xi['mover_collision']).any())
+        state = xs
+    assert collided, 'head-on movers never collided at mixed radii'
