@@ -33,6 +33,7 @@ def __getattr__(name):
         'PushingVectorEnv': ('gymnasium_planar_robotics_tpu.envs.vector_env', 'PushingVectorEnv'),
         'PlanningParallelEnv': ('gymnasium_planar_robotics_tpu.envs.pettingzoo_env', 'PlanningParallelEnv'),
         'Planar2DViewer': ('gymnasium_planar_robotics_tpu.utils.rendering', 'Planar2DViewer'),
+        'MujocoViewerCollection': ('gymnasium_planar_robotics_tpu.utils.mujoco_viewer', 'MujocoViewerCollection'),
         'ImpedanceGains': ('gymnasium_planar_robotics_tpu.utils.impedance', 'ImpedanceGains'),
         'impedance_wrench': ('gymnasium_planar_robotics_tpu.utils.impedance', 'impedance_wrench'),
         'make_gains': ('gymnasium_planar_robotics_tpu.utils.impedance', 'make_gains'),

@@ -47,7 +47,7 @@ def _info_to_collision_arrays(info) -> tuple[int, np.ndarray, np.ndarray]:
 class _JaxGymEnv(gym.Env):
     """Shared shell: owns the (config, params, state) triple and jitted fns."""
 
-    metadata = {'render_modes': ['human', 'rgb_array'], 'render_fps': 25}
+    metadata = {'render_modes': ['human', 'rgb_array', 'depth_array', 'human_2d', 'rgb_array_2d'], 'render_fps': 25}
 
     def __init__(self, model, config, params, render_mode: str | None = None):
         self._model = model
@@ -56,6 +56,7 @@ class _JaxGymEnv(gym.Env):
         self.render_mode = render_mode
         self._state = None
         self._viewer = None
+        self._viewer3d = None
         self._step_jit = jax.jit(lambda s, a: model.step(config, params, s, a))
         # plain (no-override) resets go through jit; option-overridden resets
         # (rare, shape-changing) fall back to eager in _reset_core
@@ -106,19 +107,38 @@ class _JaxGymEnv(gym.Env):
         )
 
     def render(self):
+        """'human'/'rgb_array'/'depth_array' drive the live 3D MuJoCo mirror
+        (reference MujocoViewerCollection, rendering.py:99-280); the '_2d'
+        variants use the dependency-free matplotlib top-down view."""
         if self.render_mode is None:
             return None
+        if self.render_mode in ('human', 'rgb_array', 'depth_array') and self._viewer3d is not False:
+            try:
+                from gymnasium_planar_robotics_tpu.utils.mujoco_viewer import MujocoViewerCollection
+
+                if self._viewer3d is None:
+                    self._viewer3d = MujocoViewerCollection(self.params, num_movers=self.config.num_movers)
+                self._viewer3d.update(self._state)
+                return self._viewer3d.render(self.render_mode)
+            except Exception as e:  # no mujoco / no GL backend
+                if self.render_mode != 'rgb_array':
+                    raise
+                gym.logger.warn(f'3D rendering unavailable ({e}); falling back to the 2D viewer')
+                self._viewer3d = False  # do not retry per frame
         from gymnasium_planar_robotics_tpu.utils import rendering
 
         if self._viewer is None:
-            self._viewer = rendering.Planar2DViewer(self.params, interactive=self.render_mode == 'human')
+            self._viewer = rendering.Planar2DViewer(self.params, interactive=self.render_mode == 'human_2d')
         frame = self._viewer.render(self._render_state())
-        return frame if self.render_mode == 'rgb_array' else None
+        return frame if self.render_mode in ('rgb_array_2d', 'rgb_array') else None
 
     def close(self):
         if self._viewer is not None:
             self._viewer.close()
             self._viewer = None
+        if self._viewer3d:
+            self._viewer3d.close()
+        self._viewer3d = None
 
     # -- helpers ------------------------------------------------------------
 

@@ -14,6 +14,9 @@ import sys
 # plugin overrides the env var, so the config update below is the only switch
 # that actually sticks; unit tests always run on (multi-device virtual) CPU
 os.environ['JAX_PLATFORMS'] = 'cpu'
+# headless offscreen MuJoCo rendering (3D viewer tests); EGL is the backend
+# that works in this container
+os.environ.setdefault('MUJOCO_GL', 'egl')
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
