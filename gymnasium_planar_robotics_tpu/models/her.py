@@ -1,0 +1,266 @@
+"""Hindsight Experience Replay on sparse rewards, fully on device.
+
+The reference's actual training recipe is SB3 HER + an off-policy learner on
+the sparse goal-conditioned rewards (``/root/reference/docs/train_agents.rst``;
+the envs' batched ``compute_reward(achieved, desired, info)`` signature with
+collision flags riding in ``info`` exists precisely so relabeling never
+re-runs collision checks — basic_envs.py:1993-1995).  This module is the
+TPU-native equivalent: one jitted program per iteration that
+
+1. rolls the batched env ``T`` steps with exploration noise,
+2. relabels goals with the 'future' strategy INSIDE the rollout window —
+   per (env, t), a uniformly drawn future step of the same episode (episode
+   boundaries found by a reverse scan over the done flags) donates its
+   achieved goal, and the reward/termination are recomputed by the same pure
+   ``compute_reward`` HER calls in the reference,
+3. runs DDPG updates (actor + critic + soft target nets) on the original +
+   relabeled transitions.
+
+Everything is ``[T, B]``-shaped array math — no replay-buffer host loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class HERConfig:
+    obs_dim: int  # non-goal observation width
+    goal_dim: int
+    action_dim: int
+    hidden: tuple[int, ...] = (128, 128)
+    action_scale: float = 3.0
+    rollout_steps: int = 16
+    gamma: float = 0.95
+    tau: float = 0.05
+    actor_lr: float = 1e-3
+    critic_lr: float = 1e-3
+    relabel_prob: float = 0.8
+    explore_std: float = 0.3
+    explore_eps: float = 0.3  # fraction of fully-random actions (standard HER)
+    reward_scale: float = 0.02  # critic trains on r*scale (sparse ±50 -> ±1)
+    update_steps: int = 10
+
+
+def _mlp_init(key, sizes, dtype=jnp.float32, out_scale=0.01):
+    keys = jax.random.split(key, len(sizes))
+    layers = []
+    for i in range(len(sizes) - 1):
+        scale = out_scale if i == len(sizes) - 2 else jnp.sqrt(2.0 / sizes[i])
+        layers.append({
+            'w': jax.random.normal(keys[i], (sizes[i], sizes[i + 1]), dtype) * scale,
+            'b': jnp.zeros(sizes[i + 1], dtype),
+        })
+    return layers
+
+
+def _mlp(layers, x):
+    for i, layer in enumerate(layers):
+        x = jnp.dot(x, layer['w'], preferred_element_type=jnp.float32) + layer['b']
+        if i < len(layers) - 1:
+            x = jnp.tanh(x)
+    return x
+
+
+def init_params(key: jax.Array, cfg: HERConfig) -> dict:
+    in_dim = cfg.obs_dim + 2 * cfg.goal_dim
+    k_a, k_c = jax.random.split(key)
+    actor = _mlp_init(k_a, (in_dim, *cfg.hidden, cfg.action_dim))
+    critic = _mlp_init(k_c, (in_dim + cfg.action_dim, *cfg.hidden, 1), out_scale=1.0)
+    return {
+        'actor': actor,
+        'critic': critic,
+        'actor_target': jax.tree_util.tree_map(jnp.copy, actor),
+        'critic_target': jax.tree_util.tree_map(jnp.copy, critic),
+    }
+
+
+def actor_action(actor, obs_vec, scale):
+    return jnp.tanh(_mlp(actor, obs_vec)) * scale
+
+
+def critic_q(critic, obs_vec, action):
+    return _mlp(critic, jnp.concatenate([obs_vec, action], axis=-1))[..., 0]
+
+
+def episode_end_indices(done: jnp.ndarray) -> jnp.ndarray:
+    """[T, B] done flags -> [T, B] index of each step's episode end within
+    the window (the first t' >= t with done[t'], else T-1)."""
+    T = done.shape[0]
+
+    def body(carry, x):
+        t, d = x
+        end = jnp.where(d, t, carry)
+        return end, end
+
+    ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+    init = jnp.full(done.shape[1:], T - 1, jnp.int32)
+    _, ends_rev = jax.lax.scan(body, init, (ts, done[::-1]))
+    return ends_rev[::-1]
+
+
+def relabel_future(key, done, next_achieved, desired, relabel_prob):
+    """'Future' HER relabeling over a [T, B] rollout window: per transition,
+    with probability ``relabel_prob``, replace the desired goal with the
+    achieved goal of a uniformly chosen step in [t, episode_end]."""
+    T, B = done.shape
+    ends = episode_end_indices(done)  # [T, B]
+    k_u, k_p = jax.random.split(key)
+    u = jax.random.uniform(k_u, (T, B))
+    ts = jnp.arange(T)[:, None]
+    span = (ends - ts + 1).astype(jnp.float32)
+    future = ts + jnp.floor(u * span).astype(jnp.int32)
+    future = jnp.clip(future, 0, T - 1)
+    donor = jnp.take_along_axis(next_achieved, future[..., None], axis=0)
+    use = jax.random.uniform(k_p, (T, B)) < relabel_prob
+    return jnp.where(use[..., None], donor, desired), use
+
+
+def make_train_step(
+    env_config,
+    env_params,
+    cfg: HERConfig,
+    step_autoreset_fn: Callable,
+    compute_reward_fn: Callable,
+    terminated_fn: Callable,
+):
+    """Build ``train_step(runner) -> (runner, metrics)``.
+
+    ``compute_reward_fn(achieved, desired, mover_col, wall_col)`` and
+    ``terminated_fn(reward)`` are the env family's HER-relabeling surface
+    (planning: ``|r| == 50``; pushing: ``r == -50``)."""
+    actor_opt = optax.adam(cfg.actor_lr)
+    critic_opt = optax.adam(cfg.critic_lr)
+    batched_env_step = jax.vmap(step_autoreset_fn, in_axes=(None, None, 0, 0))
+
+    def vec(obs_part, achieved, desired):
+        return jnp.concatenate([obs_part, achieved, desired], axis=-1).astype(jnp.float32)
+
+    def rollout_body(carry, _):
+        env_state, obs, params, key = carry
+        key, k_n, k_e, k_u = jax.random.split(key, 4)
+        a = actor_action(params['actor'], vec(obs['observation'], obs['achieved_goal'], obs['desired_goal']), cfg.action_scale)
+        a = jnp.clip(a + cfg.explore_std * cfg.action_scale * jax.random.normal(k_n, a.shape), -cfg.action_scale, cfg.action_scale)
+        # epsilon-random actions (the exploration half of the standard HER
+        # recipe; pure parameter noise rarely leaves the start region)
+        rand_a = jax.random.uniform(k_u, a.shape, minval=-cfg.action_scale, maxval=cfg.action_scale)
+        use_rand = jax.random.uniform(k_e, a.shape[:1]) < cfg.explore_eps
+        a = jnp.where(use_rand[:, None], rand_a, a)
+        env_state, next_obs, reward, terminated, truncated, info = batched_env_step(
+            env_config, env_params, env_state, a
+        )
+        fin = info['final_observation']
+        tr = dict(
+            obs_part=obs['observation'],
+            achieved=obs['achieved_goal'],
+            desired=obs['desired_goal'],
+            action=a,
+            next_obs_part=fin['observation'],
+            next_achieved=fin['achieved_goal'],
+            reward=reward.astype(jnp.float32),
+            terminated=terminated,
+            truncated=truncated,
+            mover_col=info['mover_collision'],
+            wall_col=info['wall_collision'],
+            success=info['is_success'],
+        )
+        return (env_state, next_obs, params, key), tr
+
+    def critic_loss(critic, params, batch):
+        s, a, r, s_next, not_term = batch
+        a_next = actor_action(params['actor_target'], s_next, cfg.action_scale)
+        q_next = critic_q(params['critic_target'], s_next, a_next)
+        # the critic trains on scaled rewards (sparse ±50 -> ±1) with the
+        # target clipped into the feasible return range — the standard HER
+        # stabilization (without it the ±50 terminals blow up the Bellman
+        # targets and the critic never settles)
+        y = r * cfg.reward_scale + cfg.gamma * not_term * q_next
+        lim = 50.0 * cfg.reward_scale / (1.0 - cfg.gamma)
+        y = jnp.clip(y, -lim, lim)
+        q = critic_q(critic, s, a)
+        return ((q - jax.lax.stop_gradient(y)) ** 2).mean()
+
+    def actor_loss(actor, params, s):
+        a = actor_action(actor, s, cfg.action_scale)
+        return -critic_q(params['critic'], s, a).mean()
+
+    def train_step(runner):
+        env_state, obs, params, a_opt, c_opt, key = runner
+        key, k_roll, k_rel = jax.random.split(key, 3)
+        (env_state, obs, params, _), traj = jax.lax.scan(
+            rollout_body, (env_state, obs, params, k_roll), None, length=cfg.rollout_steps
+        )
+
+        done = traj['terminated'] | traj['truncated']
+        new_desired, used = relabel_future(
+            k_rel, done, traj['next_achieved'], traj['desired'], cfg.relabel_prob
+        )
+        new_reward = compute_reward_fn(
+            traj['next_achieved'], new_desired, traj['mover_col'], traj['wall_col']
+        ).astype(jnp.float32)
+        new_term = terminated_fn(new_reward)
+
+        def flat2(x):
+            return x.reshape((-1,) + x.shape[2:])
+
+        # originals + relabeled copies (the standard HER buffer mix)
+        s = jnp.concatenate([
+            flat2(vec(traj['obs_part'], traj['achieved'], traj['desired'])),
+            flat2(vec(traj['obs_part'], traj['achieved'], new_desired)),
+        ])
+        s_next = jnp.concatenate([
+            flat2(vec(traj['next_obs_part'], traj['next_achieved'], traj['desired'])),
+            flat2(vec(traj['next_obs_part'], traj['next_achieved'], new_desired)),
+        ])
+        a = jnp.concatenate([flat2(traj['action'])] * 2)
+        r = jnp.concatenate([flat2(traj['reward']), flat2(new_reward)])
+        not_term = 1.0 - jnp.concatenate(
+            [flat2(traj['terminated']), flat2(new_term)]
+        ).astype(jnp.float32)
+        batch = (s, a, r, s_next, not_term)
+
+        def update(carry, _):
+            params, a_opt, c_opt = carry
+            c_l, c_g = jax.value_and_grad(critic_loss)(params['critic'], params, batch)
+            c_up, c_opt = critic_opt.update(c_g, c_opt, params['critic'])
+            params = dict(params, critic=optax.apply_updates(params['critic'], c_up))
+            a_l, a_g = jax.value_and_grad(actor_loss)(params['actor'], params, s)
+            a_up, a_opt = actor_opt.update(a_g, a_opt, params['actor'])
+            params = dict(params, actor=optax.apply_updates(params['actor'], a_up))
+            # polyak target updates
+            params = dict(
+                params,
+                actor_target=jax.tree_util.tree_map(
+                    lambda t, o: (1 - cfg.tau) * t + cfg.tau * o, params['actor_target'], params['actor']
+                ),
+                critic_target=jax.tree_util.tree_map(
+                    lambda t, o: (1 - cfg.tau) * t + cfg.tau * o, params['critic_target'], params['critic']
+                ),
+            )
+            return (params, a_opt, c_opt), (c_l, a_l)
+
+        (params, a_opt, c_opt), (c_losses, a_losses) = jax.lax.scan(
+            update, (params, a_opt, c_opt), None, length=cfg.update_steps
+        )
+        n_done = done.astype(jnp.float32).sum()
+        metrics = {
+            'critic_loss': c_losses[-1],
+            'actor_loss': a_losses[-1],
+            'reward_mean': traj['reward'].mean(),
+            'success_rate': traj['success'].astype(jnp.float32).mean(),
+            # of the episodes that ENDED this rollout, the fraction that
+            # ended in success (the reference's eval notion of success)
+            'episode_success_rate': traj['success'].astype(jnp.float32).sum() / jnp.maximum(n_done, 1.0),
+            'collision_rate': (traj['mover_col'] | traj['wall_col']).astype(jnp.float32).mean(),
+            'relabeled_frac': used.astype(jnp.float32).mean(),
+            'relabel_reward_mean': new_reward.mean(),
+        }
+        return (env_state, obs, params, a_opt, c_opt, key), metrics
+
+    return train_step, (actor_opt, critic_opt)

@@ -1,0 +1,106 @@
+"""HER end-to-end on SPARSE rewards — the reference's actual training recipe
+(`/root/reference/docs/train_agents.rst`: SB3 HER + off-policy learner on the
+sparse goal-conditioned envs; the batched ``compute_reward(achieved, desired,
+info)`` surface exists for relabeling, basic_envs.py:1993-1995).
+
+Covers (a) the relabeling machinery (episode-boundary handling, 'future'
+donor selection) against a per-element python oracle, and (b) an end-to-end
+learning check: DDPG+HER on sparse 1-mover planning lifts the success rate
+where the same learner WITHOUT relabeling stays flat.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gymnasium_planar_robotics_tpu.models import her, planning
+
+
+def test_episode_end_indices_oracle():
+    rng = np.random.default_rng(0)
+    done = rng.random((12, 7)) < 0.25
+    ends = np.asarray(her.episode_end_indices(jnp.asarray(done)))
+    T = done.shape[0]
+    for b in range(done.shape[1]):
+        for t in range(T):
+            exp = next((tp for tp in range(t, T) if done[tp, b]), T - 1)
+            assert ends[t, b] == exp, (t, b)
+
+
+def test_relabel_future_stays_within_episode():
+    rng = np.random.default_rng(1)
+    T, B, G = 16, 32, 2
+    done = rng.random((T, B)) < 0.2
+    # encode (t, b) into the achieved goal so the donor step is identifiable
+    next_achieved = np.stack(
+        np.meshgrid(np.arange(T), np.arange(B), indexing='ij'), axis=-1
+    ).astype(np.float32)
+    desired = np.full((T, B, G), -1.0, np.float32)
+    new_desired, used = her.relabel_future(
+        jax.random.PRNGKey(2), jnp.asarray(done), jnp.asarray(next_achieved),
+        jnp.asarray(desired), relabel_prob=0.7,
+    )
+    new_desired, used = np.asarray(new_desired), np.asarray(used)
+    ends = np.asarray(her.episode_end_indices(jnp.asarray(done)))
+    frac = used.mean()
+    assert 0.55 < frac < 0.85, frac
+    for b in range(B):
+        for t in range(T):
+            if not used[t, b]:
+                assert (new_desired[t, b] == -1.0).all()
+                continue
+            donor_t, donor_b = int(new_desired[t, b, 0]), int(new_desired[t, b, 1])
+            assert donor_b == b, 'relabeling crossed env rows'
+            assert t <= donor_t <= ends[t, b], 'future donor escaped the episode window'
+
+
+@pytest.mark.slow
+def test_her_lifts_sparse_success_rate():
+    """DDPG+HER on sparse 1-mover planning: of the episodes ending each
+    rollout, the success fraction rises (and collisions fall) while the
+    identical learner with relabeling disabled stays flat — relabeling, not
+    the learner, does the lifting.  Deterministic: fixed seeds on the CPU
+    test platform (calibrated curve: HER 0.31 -> ~0.5, no-HER ~0.27)."""
+    config, params = planning.make_planning_env(
+        np.ones((3, 3)), 1, std_noise=1e-5, dtype=jnp.float32, a_max=3.0
+    )
+    assert config.reward_mode == 'sparse'
+    B = 256
+
+    def run(relabel_prob, iters, seed):
+        cfg = her.HERConfig(
+            obs_dim=2, goal_dim=2, action_dim=2, hidden=(64, 64),
+            action_scale=3.0, rollout_steps=16, relabel_prob=relabel_prob,
+            explore_std=0.2, update_steps=8,
+        )
+        pol = her.init_params(jax.random.PRNGKey(seed), cfg)
+        train_step, (a_opt, c_opt) = her.make_train_step(
+            config, params, cfg, planning.step_autoreset,
+            lambda ach, des, mc, wc: planning.compute_reward(config, params, ach, des, mc, wc),
+            lambda r: jnp.abs(r) == 50.0,
+        )
+        state, obs, _ = planning.init_batch(config, params, jax.random.PRNGKey(seed + 1), B)
+        runner = (state, obs, pol, a_opt.init(pol['actor']), c_opt.init(pol['critic']),
+                  jax.random.PRNGKey(seed + 2))
+        step = jax.jit(train_step)
+        rates = []
+        for _ in range(iters):
+            runner, m = step(runner)
+            rates.append(float(m['episode_success_rate']))
+        assert np.isfinite(rates).all()
+        return rates
+
+    iters = 250
+    rates = run(relabel_prob=0.8, iters=iters, seed=0)
+    early = float(np.mean(rates[10:40]))  # skip the pre-learning warmup spike
+    late = float(np.mean(rates[-30:]))
+    assert late > early + 0.08, f'HER failed to lift episode success: {early:.3f} -> {late:.3f}'
+    assert late > 0.38, f'final episode success rate too low: {late:.3f}'
+
+    no_her = run(relabel_prob=0.0, iters=iters, seed=0)
+    late_no = float(np.mean(no_her[-30:]))
+    assert late > late_no + 0.10, (
+        f'relabeling made no difference: HER {late:.3f} vs no-HER {late_no:.3f}'
+    )
