@@ -11,10 +11,13 @@ from __future__ import annotations
 _REGISTERED = False
 
 
-def register_gymnasium_envs() -> None:
-    """Register the benchmark environments with the Gymnasium registry (idempotent)."""
+def register_gymnasium_envs(force: bool = False) -> None:
+    """Register the benchmark environments with the Gymnasium registry
+    (idempotent).  ``force=True`` re-registers even if another package (e.g.
+    the reference implementation, imported side by side in tests/migration)
+    has overridden the same env ids since."""
     global _REGISTERED
-    if _REGISTERED:
+    if _REGISTERED and not force:
         return
     import gymnasium as gym
 

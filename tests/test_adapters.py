@@ -12,6 +12,15 @@ import pytest
 import gymnasium as gym
 
 import gymnasium_planar_robotics_tpu  # noqa: F401  (registers envs)
+from gymnasium_planar_robotics_tpu.envs import registration
+
+
+@pytest.fixture(autouse=True)
+def _ensure_our_registration():
+    """Other test modules import the reference package, which overrides the
+    shared env ids in the global Gymnasium registry; pin OURS back for every
+    test in this module (execution order must not matter)."""
+    registration.register_gymnasium_envs(force=True)
 
 
 def test_gym_make_planning_roundtrip():
