@@ -34,8 +34,8 @@ def _default_dtype(dtype):
 def _info_to_collision_arrays(info) -> tuple[int, np.ndarray, np.ndarray]:
     """Reference ``_preprocess_info_dict`` (benchmark_planning_env.py:666-688):
     accept one info dict or an ndarray of per-transition info dicts (SB3 HER)."""
-    if isinstance(info, np.ndarray):
-        batch = info.shape[0]
+    if isinstance(info, (np.ndarray, list, tuple)):
+        batch = len(info)
         mover = np.array([bool(i['mover_collision']) for i in info])
         wall = np.array([bool(i['wall_collision']) for i in info])
         return batch, mover, wall
@@ -211,6 +211,10 @@ class PlanningGymEnv(_JaxGymEnv):
     # -- HER API (batched, NumPy) ------------------------------------------
 
     def compute_reward(self, achieved_goal, desired_goal, info=None):
+        """Batched HER reward recomputation (reference ``basic_envs.py``
+        ``compute_reward``): -50 on a collision recorded in ``info``, else
+        0/-1 sparse goal-distance reward.  Accepts single samples, stacked
+        arrays, or an array of info dicts as Stable-Baselines3 HER passes."""
         batch, mover, wall = _info_to_collision_arrays(info)
         a = np.asarray(achieved_goal).reshape(batch, -1)
         d = np.asarray(desired_goal).reshape(batch, -1)
@@ -222,11 +226,16 @@ class PlanningGymEnv(_JaxGymEnv):
         return r if batch > 1 else float(r[0])
 
     def compute_terminated(self, achieved_goal, desired_goal, info=None):
+        """Relabeled termination flag: true iff the recomputed reward hits
+        the +/-50 success/collision magnitude (reference semantics where an
+        episode ends on success or collision, never on plain -1 steps)."""
         r = self.compute_reward(achieved_goal, desired_goal, info)
         out = np.abs(r) == planning_model.REWARD_SUCCESS
         return out if isinstance(r, np.ndarray) else bool(out)
 
     def compute_truncated(self, achieved_goal, desired_goal, info=None):
+        """Always false: truncation is driven by the TimeLimit wrapper, not
+        by goal state (matches the reference ``compute_truncated``)."""
         batch = achieved_goal.shape[0] if np.asarray(achieved_goal).ndim > 1 else 1
         return np.zeros(batch, bool) if batch > 1 else False
 
@@ -272,6 +281,9 @@ class PushingGymEnv(_JaxGymEnv):
         }
 
     def compute_reward(self, achieved_goal, desired_goal, info=None):
+        """Batched HER reward for pushing: -50 on a wall collision recorded
+        in ``info``, else the sparse 0/-1 object-to-goal distance reward
+        (reference ``benchmark_pushing_env.py`` semantics)."""
         batch, _, wall = _info_to_collision_arrays(info)
         a = np.asarray(achieved_goal).reshape(batch, -1)
         d = np.asarray(desired_goal).reshape(batch, -1)
@@ -281,11 +293,14 @@ class PushingGymEnv(_JaxGymEnv):
         return r if batch > 1 else float(r[0])
 
     def compute_terminated(self, achieved_goal, desired_goal, info=None):
+        """Relabeled termination: pushing terminates only on wall collision
+        (success does NOT end the episode in the reference pushing env)."""
         r = self.compute_reward(achieved_goal, desired_goal, info)
         out = r == pushing_model.REWARD_WALL_COLLISION
         return out if isinstance(r, np.ndarray) else bool(out)
 
     def compute_truncated(self, achieved_goal, desired_goal, info=None):
+        """Always false: truncation comes from the TimeLimit wrapper only."""
         batch = achieved_goal.shape[0] if np.asarray(achieved_goal).ndim > 1 else 1
         return np.zeros(batch, bool) if batch > 1 else False
 
@@ -293,8 +308,10 @@ class PushingGymEnv(_JaxGymEnv):
 # registration entry points (envs/registration.py)
 
 def make_planning_env(**kwargs) -> PlanningGymEnv:
+    """Entry point used by the ``BenchmarkPlanningEnv-v0`` registration."""
     return PlanningGymEnv(**kwargs)
 
 
 def make_pushing_env(**kwargs) -> PushingGymEnv:
+    """Entry point used by the ``BenchmarkPushingEnv-v0`` registration."""
     return PushingGymEnv(**kwargs)

@@ -27,6 +27,8 @@ def wall_collision_any(
 def mover_collision_any(
     xy: jnp.ndarray, quat: jnp.ndarray, c_size: jnp.ndarray, collision_shape: str
 ) -> jnp.ndarray:
+    """True if any mover pair collides (reference check_mover_collision,
+    basic_envs.py; all M*(M-1)/2 pairs as static gathers)."""
     return collision.check_mover_collision(xy, c_size, quat=quat, collision_shape=collision_shape)
 
 

@@ -69,6 +69,7 @@ def _mlp(layers, x):
 
 
 def init_params(key: jax.Array, cfg: HERConfig) -> dict:
+    """Initialize DDPG actor/critic MLPs plus their Polyak target copies."""
     in_dim = cfg.obs_dim + 2 * cfg.goal_dim
     k_a, k_c = jax.random.split(key)
     actor = _mlp_init(k_a, (in_dim, *cfg.hidden, cfg.action_dim))
@@ -82,10 +83,12 @@ def init_params(key: jax.Array, cfg: HERConfig) -> dict:
 
 
 def actor_action(actor, obs_vec, scale):
+    """Deterministic policy: tanh-squashed MLP output scaled to the action limit."""
     return jnp.tanh(_mlp(actor, obs_vec)) * scale
 
 
 def critic_q(critic, obs_vec, action):
+    """State-action value estimate Q(s, a) from the critic MLP."""
     return _mlp(critic, jnp.concatenate([obs_vec, action], axis=-1))[..., 0]
 
 

@@ -69,6 +69,9 @@ def apply(params: dict, obs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp
 
 
 def sample_action(params: dict, obs: jnp.ndarray, key: jax.Array, scale: float):
+    """Sample a Gaussian action; returns (clipped action, pre-clip raw
+    sample, its log-prob, and the value estimate).  The raw sample is what
+    the PPO ratio is computed against — clipping only protects the env."""
     mu, log_std, value = apply(params, obs)
     noise = jax.random.normal(key, mu.shape, mu.dtype)
     raw = mu + jnp.exp(log_std) * noise
@@ -120,6 +123,8 @@ def compute_gae(traj: Transition, last_value: jnp.ndarray, gamma: float, lam: fl
 
 
 def ppo_loss(params: dict, cfg: PPOConfig, batch) -> jnp.ndarray:
+    """Clipped-surrogate PPO loss (policy + value + entropy terms) over a
+    minibatch of (obs, raw_action, old_logp, advantages, returns)."""
     obs, raw_action, old_logp, advantages, returns = batch
     mu, log_std, value = apply(params, obs)
     logp = _gaussian_logp(raw_action, mu, log_std)

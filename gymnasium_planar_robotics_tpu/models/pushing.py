@@ -518,6 +518,11 @@ def make_fused_step_autoreset(
 
 
 def step_autoreset(config: PushingConfig, params: PushingParams, state: PushingState, action):
+    """Step + in-graph episode restart on termination/truncation.  The
+    pre-reset observation is surfaced as ``info['final_observation']`` and a
+    stalled object resample defers the restart to the next step (bounded
+    alternative to the reference's unbounded sampling loop,
+    benchmark_pushing_env.py:394-407)."""
     new_state, obs, reward, terminated, _, info = step(config, params, state, action)
     truncated = new_state.steps >= config.max_episode_steps
     done = terminated | truncated
@@ -541,6 +546,7 @@ def step_autoreset(config: PushingConfig, params: PushingParams, state: PushingS
 
 
 def init_batch(config, params, key, batch: int):
+    """Reset ``batch`` independent pushing envs from per-env fold-in keys."""
     keys = jax.random.split(key, batch)
     return jax.vmap(lambda k: reset(config, params, k))(keys)
 

@@ -40,6 +40,7 @@ def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (params, scalars) over the mesh."""
     return NamedSharding(mesh, P())
 
 

@@ -54,5 +54,6 @@ def restore(directory: str | Path, like):
 
 
 def saved_step(directory: str | Path) -> int | None:
+    """Step counter recorded in a checkpoint directory's metadata, if any."""
     meta = json.loads((Path(directory) / 'meta.json').read_text())
     return meta.get('step')

@@ -239,6 +239,7 @@ class MujocoViewerCollection:
                           use_mj_passive_viewer=self._use_passive)
 
     def close(self) -> None:
+        """Free every lazily-created offscreen renderer and the human viewer."""
         for r in self._viewers.values():
             r.close()
         self._viewers.clear()

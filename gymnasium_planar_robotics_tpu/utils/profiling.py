@@ -33,6 +33,8 @@ class ThroughputMeter:
         self.rate = 0.0
 
     def tick(self, env_steps: int) -> float:
+        """Record ``env_steps`` completed steps; returns the running rate.
+        The first call only arms the timer (returns 0.0)."""
         now = time.perf_counter()
         if self._t0 is None:
             self._t0 = now
@@ -44,5 +46,6 @@ class ThroughputMeter:
         return self.rate
 
     def reset(self):
+        """Clear the window; the next ``tick`` re-arms the timer."""
         self._t0 = None
         self._steps = 0

@@ -110,4 +110,5 @@ class Planar2DViewer:
         return buf[:, :, :3].copy()
 
     def close(self):
+        """Close the matplotlib figure."""
         self._plt.close(self._fig)

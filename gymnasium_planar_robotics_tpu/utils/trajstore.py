@@ -58,6 +58,7 @@ _LIB = _load_lib()
 
 
 def native_available() -> bool:
+    """True if the C++ trajstore library was found and loaded."""
     return _LIB is not None
 
 
@@ -108,6 +109,8 @@ class TrajWriter:
             self._index = open(idx, 'ab')
 
     def append(self, frame: bytes) -> None:
+        """Append one opaque frame; native path enqueues to the background
+        writer thread, Python fallback writes+flushes synchronously."""
         if self._native is not None:
             rc = _LIB.ts_writer_append(self._native, frame, len(frame))
             if rc != 0:
@@ -128,6 +131,7 @@ class TrajWriter:
         self._count += 1
 
     def append_pytree(self, tree) -> None:
+        """Serialize a pytree of arrays (npz container) and append it."""
         self.append(pack_pytree(tree))
 
     @property
@@ -137,6 +141,7 @@ class TrajWriter:
         return getattr(self, '_count', getattr(self, '_final_count', 0))
 
     def close(self) -> None:
+        """Drain the background writer (native path) and close all files."""
         if self._native is not None:
             import time
 
@@ -184,6 +189,7 @@ class TrajReader:
         return len(self._index)
 
     def get(self, i: int) -> bytes:
+        """Read frame ``i`` verbatim (raises IndexError if unreadable)."""
         if self._native is not None:
             n = int(_LIB.ts_reader_length(self._native, i))
             buf = ctypes.create_string_buffer(n)
@@ -199,9 +205,11 @@ class TrajReader:
             return f.read(ln)
 
     def get_arrays(self, i: int) -> list[np.ndarray]:
+        """Read frame ``i`` and decode it as a list of arrays."""
         return unpack_arrays(self.get(i))
 
     def close(self) -> None:
+        """Release the native reader handle (no-op for the Python path)."""
         if self._native is not None:
             _LIB.ts_reader_close(self._native)
             self._native = None
