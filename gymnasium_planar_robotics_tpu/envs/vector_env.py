@@ -53,6 +53,10 @@ class _JaxVectorEnv(gym.vector.VectorEnv):
             except AssertionError:
                 fused = None
 
+        #: True when steps run through the fused Pallas kernel (observable so
+        #: hardware runs can assert the fast path actually engaged)
+        self.using_fused = fused is not None
+
         step = jax.vmap(model.step_autoreset, in_axes=(None, None, 0, 0))
         if fused is not None:
             self._step_jit = jax.jit(fused)

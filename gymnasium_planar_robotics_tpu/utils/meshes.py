@@ -116,7 +116,19 @@ def resolve_mesh_path(name_or_path: str | None, asset_dir: str | Path | None = N
         directory.mkdir(parents=True, exist_ok=True)
         path = directory / f'{name_or_path}.stl'
         if not path.exists():
-            write_box_stl(path, PREDEFINED_MESH_DIMS[name_or_path])
+            # atomic write: concurrent processes (parallel tests) must never
+            # read a half-written STL
+            import os
+            import tempfile
+
+            fd, tmp = tempfile.mkstemp(dir=directory, suffix='.stl.tmp')
+            os.close(fd)
+            try:
+                write_box_stl(tmp, PREDEFINED_MESH_DIMS[name_or_path])
+                os.replace(tmp, path)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
         return path
     return Path(name_or_path)
 

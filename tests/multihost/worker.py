@@ -27,7 +27,7 @@ assert jax.device_count() == 8 and jax.local_device_count() == 4
 
 config, params = planning.make_planning_env(np.ones((3, 3)), 1, std_noise=1e-5, dtype=jnp.float32)
 mesh = sharding.make_mesh()  # global 8-device mesh across both processes
-B = 64
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 
 # build the global batch from per-process shards
 state, obs, _ = planning.init_batch(config, params, jax.random.PRNGKey(0), B)
@@ -55,4 +55,19 @@ def step_and_metrics(s, a):
 s2, metrics = step_and_metrics(gstate, actions)
 val = float(metrics['reward_mean'])  # replicated -> addressable everywhere
 assert np.isfinite(val)
+
+# throughput: timed cross-process sharded stepping (the metrics reduction
+# inside forces a real inter-host collective every step)
+import time
+
+K = 12
+s = s2
+jax.block_until_ready(s.pos)
+t0 = time.perf_counter()
+for _ in range(K):
+    s, metrics = step_and_metrics(s, actions)
+jax.block_until_ready(metrics['reward_mean'])
+dt = time.perf_counter() - t0
+rate = B * K / dt
 print(f'proc {proc}: global reward_mean {val:.4f} over {jax.device_count()} devices OK', flush=True)
+print(f'proc {proc}: RATE {rate:.1f} env-steps/s (B={B}, {K} steps, 2-process mesh)', flush=True)

@@ -71,7 +71,7 @@ def test_fused_matches_xla_multi_step_holed_layout():
     state = _random_states(config, params, b, seed=3)
     fused_step = planning.make_fused_step(config, params, interpret=True)
     key = jax.random.PRNGKey(5)
-    for t in range(5):
+    for t in range(3):
         key, k = jax.random.split(key)
         actions = jax.random.uniform(k, (b, 2), jnp.float32, -8.0, 8.0)
         xs, _, xr, xt, _, xi = planning.batched_step(config, params, state, actions)
@@ -95,20 +95,18 @@ def test_supports_gate():
     assert not pallas_step.supports(config, params)  # f64 parity mode -> XLA
 
 
-def test_fused_box_shape_matches_xla_and_resets():
-    """Box collision shape in-kernel: rotated-vertex wall checks + corner
-    rect tests bit-match ``ops/walls`` at std=0 on a holed layout, and the
-    in-kernel box autoreset restarts at box-valid positions."""
-    from gymnasium_planar_robotics_tpu.ops import walls
-    from gymnasium_planar_robotics_tpu.models.common import IDENTITY_QUAT
-
-    import dataclasses
-
+def _mk_box():
     layout = np.array([[1, 1, 1], [1, 1, 0], [1, 1, 1]])
-    config, params = planning.make_planning_env(
+    return planning.make_planning_env(
         layout, 1, std_noise=0.0, num_cycles=8, v_max=1.0, a_max=8.0, dtype=jnp.float32,
         collision_params={'shape': 'box', 'size': np.array([0.09, 0.08])},
     )
+
+
+def test_fused_box_shape_matches_xla():
+    """Box collision shape in-kernel: rotated-vertex wall checks + corner
+    rect tests bit-match ``ops/walls`` at std=0 on a holed layout."""
+    config, params = _mk_box()
     assert pallas_step.supports(config, params)
     b = 128
     # plant against the missing-tile wall: both the edge tests and the
@@ -122,7 +120,7 @@ def test_fused_box_shape_matches_xla_and_resets():
     fused_step = planning.make_fused_step(config, params, interpret=True)
     key = jax.random.PRNGKey(33)
     hit_any = False
-    for t in range(3):
+    for t in range(2):
         actions = jnp.tile(jnp.asarray([6.0, 2.0], jnp.float32), (b, 1))
         xs, _, _, xt, _, xi = planning.batched_step(config, params, state, actions)
         fs, _, _, ft, _, fi = fused_step(state, actions)
@@ -134,8 +132,18 @@ def test_fused_box_shape_matches_xla_and_resets():
         state = xs
     assert hit_any, 'no box wall collision ever fired'
 
-    # in-kernel box autoreset: restarts are box-valid at the sampling size
-    # (small cand_k keeps the interpret-mode box-validity unrolls cheap)
+
+def test_fused_box_autoreset_restarts_box_valid():
+    """In-kernel box autoreset restarts at box-valid positions (small cand_k
+    keeps the interpret-mode box-validity unrolls cheap)."""
+    from gymnasium_planar_robotics_tpu.ops import walls
+    from gymnasium_planar_robotics_tpu.models.common import IDENTITY_QUAT
+
+    import dataclasses
+
+    config, params = _mk_box()
+    b = 128
+    key = jax.random.PRNGKey(33)
     step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True, cand_k=4)
     state = _random_states(config, params, b, seed=35)
     actions = jnp.zeros((b, 2), jnp.float32)
@@ -243,7 +251,7 @@ def test_injected_reset_sampling_wall_valid_and_uniform():
     )
     import dataclasses
 
-    b = 512
+    b = 256
     state = _random_states(config, params, b, seed=13)
     step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True)
     actions = jnp.zeros((b, 2), jnp.float32)
@@ -251,7 +259,7 @@ def test_injected_reset_sampling_wall_valid_and_uniform():
     c_sample = params.c_size + params.c_offset + params.c_offset_wall
     starts, goals = [], []
     key = jax.random.PRNGKey(17)
-    for t in range(4):
+    for t in range(3):
         # pin the step counter at the limit: every env truncates and restarts
         state = dataclasses.replace(
             state, steps=jnp.full((b,), config.max_episode_steps - 1, jnp.int32)
@@ -312,14 +320,21 @@ def test_reset_stall_reported_and_env_not_reset():
         layout, 1, std_noise=1e-5, num_cycles=10, dtype=jnp.float32,
     )
     b = 128
-    state = _random_states(config, params, b, seed=19)
+    # plant just left of the layout hole (invalid for the r=0.11 sampling
+    # circle once x > 0.13): the +x slam crosses within 1-3 short steps
+    xs_plant = np.linspace(0.1262, 0.1295, b)
+    plant = np.stack([xs_plant, np.full(b, 0.36)], axis=-1)[:, None, :]
+    keys0 = jax.random.split(jax.random.PRNGKey(19), b)
+    state, _, _ = jax.vmap(lambda k, s: planning.reset(config, params, k, start_xy=s))(
+        keys0, jnp.asarray(plant, jnp.float32)
+    )
     step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True)
     actions = jnp.tile(jnp.asarray([8.0, 0.0], jnp.float32), (b, 1))
 
     n_cycle = 4 * config.num_cycles
     key = jax.random.PRNGKey(23)
     stalled_seen = False
-    for t in range(6):
+    for t in range(3):
         key, kn = jax.random.split(key)
         u = np.array(_uniforms(kn, step.noise_planes, b))
         # overwrite every reset-sampling draw with 0.5 -> the layout hole's
@@ -394,14 +409,23 @@ def test_injected_pushing_reset_respects_min_distance():
 
 
 def test_fused_autoreset_restarts_episodes():
-    config, params = _mk(std=1e-5)
+    config, params = _mk(std=1e-5, num_cycles=12)
     b = 128
-    state = _random_states(config, params, b, seed=11)
-    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True)
+    # plant near the +x wall so the slam terminates within a few short steps
+    # (keeps interpret-mode cost low; restart coverage is identical)
+    xs = np.linspace(0.55, 0.62, b)
+    plant = np.stack([xs, np.full(b, 0.36)], axis=-1)[:, None, :]
+    keys = jax.random.split(jax.random.PRNGKey(11), b)
+    state, _, _ = jax.vmap(lambda k, s: planning.reset(config, params, k, start_xy=s))(
+        keys, jnp.asarray(plant, jnp.float32)
+    )
+    step = planning.make_fused_step_autoreset(
+        config, params, interpret=True, inject_noise=True, cand_k=8
+    )
     actions = jnp.tile(jnp.asarray([8.0, 0.0], jnp.float32), (b, 1))  # slam the wall
     terminated_any = False
     key = jax.random.PRNGKey(37)
-    for _ in range(8):
+    for _ in range(4):
         key, kn = jax.random.split(key)
         state, obs, rew, term, trunc, info = step(state, actions, noise=_uniforms(kn, step.noise_planes, b))
         terminated_any = terminated_any or bool(np.asarray(term).any())
@@ -426,7 +450,7 @@ def test_fused_single_autoreset_matches_xla_zero_noise(learn_jerk):
     actions = jax.random.uniform(jax.random.PRNGKey(22), (b, 2), jnp.float32, -limit, limit)
 
     xs, xo, xr, xt, _, xi = planning.batched_step(config, params, state, actions)
-    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True)
+    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True, cand_k=2)
     u = _uniforms(jax.random.PRNGKey(23), step.noise_planes, b)
     fs, fo, fr, ft, ftr, fi = step(state, actions, noise=u)
 
@@ -459,7 +483,7 @@ def test_fused_dense_reward_matches_xla():
     actions = jax.random.uniform(jax.random.PRNGKey(26), (b, 2), jnp.float32, -8.0, 8.0)
 
     xs, _, xr, xt, _, xi = planning.batched_step(config, params, state, actions)
-    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True)
+    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True, cand_k=2)
     u = _uniforms(jax.random.PRNGKey(27), step.noise_planes, b)
     fs, fo, fr, ft, ftr, fi = step(state, actions, noise=u)
 
@@ -565,17 +589,19 @@ def test_fused_multi_mover_autoreset_mechanics():
     goal bookkeeping, reward values.  Movers planted close so head-on
     actions collide within a few short steps (keeps interpret time low)."""
     config, params = planning.make_planning_env(
-        np.ones((4, 4)), 3, std_noise=0.0, num_cycles=12, dtype=jnp.float32
+        np.ones((4, 4)), 3, std_noise=0.0, num_cycles=6, dtype=jnp.float32
     )
     b = 128
     starts = np.array([[0.5, 0.5], [0.82, 0.5], [0.5, 0.95]])
     state = _planted_multi_state(config, params, b, starts)
-    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True)
+    step = planning.make_fused_step_autoreset(
+        config, params, interpret=True, inject_noise=True, cand_k=4
+    )
     # drive movers 0 and 1 into each other
     actions = jnp.tile(jnp.asarray([[6.0, 0.0], [-6.0, 0.0], [0.0, 2.0]], jnp.float32), (b, 1, 1))
     collided_any = False
     key = jax.random.PRNGKey(43)
-    for t in range(4):
+    for t in range(3):
         key, kn = jax.random.split(key)
         prev_goal = np.asarray(state.goals)
         state, o, r, te, tr, info = step(
@@ -613,7 +639,11 @@ def test_fused_multi_matches_xla_single_step_zero_noise(learn_jerk):
     actions = jax.random.uniform(jax.random.PRNGKey(1), (b, 4), jnp.float32, -limit, limit)
 
     xs, _, xr, xt, _, xi = planning.batched_step(config, params, state, actions)
-    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True)
+    # physics-only comparison: tiny cand_k keeps the (unused) reset sampler
+    # cheap in interpret mode
+    step = planning.make_fused_step_autoreset(
+        config, params, interpret=True, inject_noise=True, cand_k=2
+    )
     u = _uniforms(jax.random.PRNGKey(2), step.noise_planes, b)
     fs, fo, fr, ft, ftr, fi = step(state, actions, noise=u)
 
@@ -651,10 +681,10 @@ def test_fused_multi_per_mover_radii_matches_xla():
     # +-6 m/s^2 the movers close ~0.4/1.3 mm in steps 1/2 (12 ms each)
     state = _planted_multi_state(config, params, b, np.array([[0.5, 0.5], [0.7515, 0.5]]), seed=14)
     actions = jnp.tile(jnp.asarray([[6.0, 0.0], [-6.0, 0.0]], jnp.float32), (b, 1, 1)).reshape(b, 4)
-    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True)
+    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True, cand_k=2)
 
     collided = False
-    for t in range(4):
+    for t in range(3):
         xs, _, xr, xt, _, xi = planning.batched_step(config, params, state, actions)
         u = _uniforms(jax.random.PRNGKey(15 + t), step.noise_planes, b)
         fs, fo, fr, ft, ftr, fi = step(state, actions, noise=u)
