@@ -155,17 +155,20 @@ def _run_scaling() -> None:
     }))
 
 
-def bench_planning_fused(batch=BATCH, num_movers=1, layout=None):
+def bench_planning_fused(batch=BATCH, num_movers=1, layout=None, **env_kwargs):
     """Planning with the fused Pallas mega-kernel (whole autoreset step in one
-    launch)."""
+    launch).  ``env_kwargs`` forwards to ``make_planning_env`` so jerk-mode
+    (``learn_jerk=True``) and box-shape (``collision_params={'shape': 'box'}``)
+    fused configs are benchable too."""
     from gymnasium_planar_robotics_tpu.models import planning
 
     config, params = planning.make_planning_env(
         layout_tiles=np.ones((3, 3)) if layout is None else layout,
-        num_movers=num_movers, std_noise=1e-5, dtype=jnp.float32,
+        num_movers=num_movers, std_noise=1e-5, dtype=jnp.float32, **env_kwargs,
     )
     state, obs, _ = jax.block_until_ready(planning.init_batch(config, params, jax.random.PRNGKey(0), batch))
     fused = planning.make_fused_step_autoreset(config, params)
+    a_lim = float(np.asarray(params.j_max if config.learn_jerk else params.a_max))
 
     @jax.jit
     def roll(state, key):
@@ -173,7 +176,7 @@ def bench_planning_fused(batch=BATCH, num_movers=1, layout=None):
 
         def body(carry, k):
             s, = carry
-            a = jax.random.uniform(k, (batch, config.num_movers * 2), jnp.float32, -10.0, 10.0)
+            a = jax.random.uniform(k, (batch, config.num_movers * 2), jnp.float32, -a_lim, a_lim)
             s, o, r, te, tr, i = fused(s, a)
             return (s,), r.mean()
 
@@ -269,6 +272,9 @@ def main() -> None:
             ('pushing 4096 envs', bench_pushing(4096), REF_PUSHING),
             ('planning 1-mover 4096 envs', bench_planning(4096, 1), REF_PLANNING_1),
             ('planning 1-mover 4096 envs (pallas fused)', bench_planning_fused(4096), REF_PLANNING_1),
+            ('planning jerk-mode 4096 envs (pallas fused)', bench_planning_fused(4096, learn_jerk=True), REF_PLANNING_1),
+            ('planning box-shape 4096 envs (pallas fused)',
+             bench_planning_fused(4096, collision_params={'shape': 'box', 'size': np.array([0.09, 0.09])}), REF_PLANNING_1),
             ('planning 4-mover 256 envs (pallas fused)', bench_planning_fused(256, 4, np.ones((4, 4))), REF_PLANNING_4),
             ('multi-agent 4x1024 envs', bench_multiagent(1024, 4), REF_PLANNING_4),
             ('mixed planning+pushing 4096 envs', bench_mixed(2048), REF_PUSHING),

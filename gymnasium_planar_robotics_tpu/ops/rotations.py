@@ -272,3 +272,77 @@ def quat_slerp(q0: jnp.ndarray, q1: jnp.ndarray, fraction: jnp.ndarray, shortest
     out = jnp.where((jnp.asarray(fraction) == 0.0)[..., None], q0, out)
     out = jnp.where((jnp.asarray(fraction) == 1.0)[..., None], q1, out)
     return out
+
+
+def euler2point_euler(euler: jnp.ndarray) -> jnp.ndarray:
+    """Euler angles → point representation ``[sin(e), cos(e)]``
+    (reference rotations_utils.py:333-341); batched, last axis 3 → 6."""
+    euler = jnp.asarray(euler)
+    return jnp.concatenate([jnp.sin(euler), jnp.cos(euler)], axis=-1)
+
+
+def point_euler2euler(pe: jnp.ndarray) -> jnp.ndarray:
+    """Point representation → Euler angles (reference rotations_utils.py:343-351).
+
+    Keeps the reference's exact branch semantics: ``arctan(s/c)`` plus π
+    wherever ``c < 0`` (NOT ``arctan2`` — ranges differ in quadrant III)."""
+    pe = jnp.asarray(pe)
+    s, c = pe[..., :3], pe[..., 3:]
+    return jnp.arctan(s / c) + jnp.pi * (c < 0)
+
+
+def quat2point_quat(quat: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion (wxyz) → 5-vector ``[sin θ, cos θ, axis·1]`` point form
+    (reference rotations_utils.py:354-364); axis left unscaled when
+    ``|sin(θ/2)| < 1e-5`` exactly like the reference's masked divide."""
+    quat = jnp.asarray(quat)
+    angle = jnp.arccos(jnp.clip(quat[..., :1], -1.0, 1.0)) * 2.0
+    half_sin = jnp.sin(angle / 2.0)
+    safe = jnp.abs(half_sin) >= 1e-5
+    xyz = quat[..., 1:]
+    xyz = jnp.where(safe, xyz / jnp.where(safe, half_sin, 1.0), xyz)
+    return jnp.concatenate([jnp.sin(angle), jnp.cos(angle), xyz], axis=-1)
+
+
+def point_quat2quat(pq: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`quat2point_quat` (reference rotations_utils.py:367-379)."""
+    pq = jnp.asarray(pq)
+    angle = jnp.arctan(pq[..., :1] / pq[..., 1:2])
+    half_sin = jnp.sin(angle / 2.0)
+    safe = jnp.abs(half_sin) >= 1e-5
+    qxyz = pq[..., 2:]
+    qxyz = jnp.where(safe, qxyz * half_sin, qxyz)
+    return jnp.concatenate([jnp.cos(angle / 2.0), qxyz], axis=-1)
+
+
+def round_to_straight_angles(angles: jnp.ndarray) -> jnp.ndarray:
+    """Snap every angle to the nearest multiple of 90° and normalize to
+    [-π, π] (reference rotations_utils.py:392-395)."""
+    half_pi = jnp.pi / 2.0
+    return normalize_angles(jnp.round(jnp.asarray(angles) / half_pi) * half_pi)
+
+
+def get_parallel_rotations():
+    """The 24 canonical axis-aligned (cube-symmetry) orientations as Euler
+    triples (reference rotations_utils.py:397-411).
+
+    Host-side enumeration (config-time helper, not a kernel): walk all
+    4³ products of 90° multiples, canonicalize each through
+    mat2euler(euler2mat(·)), snap to the ±{0,1,2}·π/2 lattice with −π → π,
+    and deduplicate."""
+    import itertools
+
+    import numpy as np
+
+    mult90 = [0.0, np.pi / 2, -np.pi / 2, np.pi]
+    seen: list[np.ndarray] = []
+    for e in itertools.product(mult90, repeat=3):
+        canon = np.asarray(mat2euler(euler2mat(jnp.asarray(e, jnp.float64))), np.float64)
+        canon = np.round(canon / (np.pi / 2))
+        canon[0] = 2.0 if canon[0] == -2 else canon[0]
+        canon[2] = 2.0 if canon[2] == -2 else canon[2]
+        canon *= np.pi / 2
+        if not any(np.array_equal(canon, r) for r in seen):
+            seen.append(canon)
+    assert len(seen) == 24
+    return seen
