@@ -157,3 +157,25 @@ def test_pushing_render_shows_object():
     frame = env.render()
     assert frame is not None and frame.shape[2] == 3
     env.close()
+
+
+def test_gymnasium_official_env_checker():
+    """Both envs pass Gymnasium's own compliance checker (reset/step/space
+    contracts, seeding, determinism probes) — third-party validation of the
+    adapter, beyond our targeted tests."""
+    from gymnasium.utils.env_checker import check_env
+
+    for env_id, kwargs in (('BenchmarkPlanningEnv-v0', {'num_movers': 1}), ('BenchmarkPushingEnv-v0', {})):
+        env = gym.make(env_id, **kwargs).unwrapped
+        check_env(env, skip_render_check=True)
+        env.close()
+
+
+def test_pettingzoo_official_parallel_api():
+    """The multi-agent adapter passes PettingZoo's parallel_api_test."""
+    from pettingzoo.test import parallel_api_test
+
+    from gymnasium_planar_robotics_tpu.envs.pettingzoo_env import PlanningParallelEnv
+
+    penv = PlanningParallelEnv(num_movers=2)
+    parallel_api_test(penv, num_cycles=60)
