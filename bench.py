@@ -34,10 +34,11 @@ ROLLOUT_T = 512  # env-steps per jitted rollout call (long rollouts amortize
 # the per-call dispatch/tunnel overhead of ~3 ms: at 64 steps the fused
 # kernels were dispatch-bound and under-reported by ~2x)
 TIMED_CALLS = 3
-TIMED_BLOCKS = 3  # best-of blocks: tunnel latency jitters between runs
+TIMED_BLOCKS = 6  # best-of blocks: tunnel latency jitters between runs
 
 
 def _best_rate(run_block, steps_per_block: int, blocks: int = TIMED_BLOCKS) -> float:
+    run_block()  # warmup (first post-compile block runs cold over the tunnel)
     best = 0.0
     for _ in range(blocks):
         t0 = time.perf_counter()
