@@ -10,7 +10,7 @@ from gymnasium_planar_robotics_tpu.utils import checkpoint
 
 
 def test_env_state_resume_bit_exact(tmp_path):
-    config, params = planning.make_planning_env(np.ones((3, 3)), 2, std_noise=1e-5, dtype=jnp.float64)
+    config, params = planning.make_planning_env(np.ones((3, 3)), 2, std_noise=1e-5, dtype=jnp.float64, num_cycles=8)
     state, obs, _ = planning.init_batch(config, params, jax.random.PRNGKey(0), 4)
     actions = jnp.ones((4, 4), jnp.float64)
 

@@ -11,7 +11,7 @@ from gymnasium_planar_robotics_tpu.models import multi_agent, planning
 
 def test_batched_parallel_step_shapes_and_semantics():
     config, params = planning.make_planning_env(
-        np.ones((4, 4)), 4, std_noise=0.0, dtype=jnp.float64
+        np.ones((4, 4)), 4, std_noise=0.0, dtype=jnp.float64, num_cycles=8
     )
     B, N = 16, 4
     state, obs, _ = planning.init_batch(config, params, jax.random.PRNGKey(0), B)

@@ -42,6 +42,7 @@ def _uniforms(key, n_planes, b):
     return jax.random.uniform(key, (n_planes, b), jnp.float32)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize('learn_jerk', [False, True])
 def test_fused_matches_xla_at_zero_noise(learn_jerk):
     config, params = _mk(std=0.0, learn_jerk=learn_jerk, num_cycles=16)
@@ -103,6 +104,7 @@ def _mk_box():
     )
 
 
+@pytest.mark.slow
 def test_fused_box_shape_matches_xla():
     """Box collision shape in-kernel: rotated-vertex wall checks + corner
     rect tests bit-match ``ops/walls`` at std=0 on a holed layout."""
@@ -133,6 +135,7 @@ def test_fused_box_shape_matches_xla():
     assert hit_any, 'no box wall collision ever fired'
 
 
+@pytest.mark.slow
 def test_fused_box_autoreset_restarts_box_valid():
     """In-kernel box autoreset restarts at box-valid positions (small cand_k
     keeps the interpret-mode box-validity unrolls cheap)."""
@@ -200,6 +203,7 @@ def test_box_muller_matches_numpy_oracle_and_moments():
     assert (np.abs(flat) > 2.0).mean() > 0.02
 
 
+@pytest.mark.slow
 def test_fused_noise_flows_and_matches_xla_distribution():
     """std>0 with injected uniforms: the fused path's collision rates and
     speeds must match the XLA path distributionally — and must MOVE when the
@@ -238,6 +242,7 @@ def test_fused_noise_flows_and_matches_xla_distribution():
     assert np.abs(np.asarray(sf.vel) - zero_vel).max() > 0  # noise reached the state
 
 
+@pytest.mark.slow
 def test_injected_reset_sampling_wall_valid_and_uniform():
     """In-kernel reset draws (planning, holed layout): every restart must be
     wall-valid at the inflated sampling radius, and accepted draws must cover
@@ -312,6 +317,7 @@ def test_injected_reset_sampling_wall_valid_and_uniform():
         assert pts[:, 0].max() > float(params.max_xy[0]) - 0.05
 
 
+@pytest.mark.slow
 def test_reset_stall_reported_and_env_not_reset():
     """Engineered all-invalid reset draws: the env must NOT restart (state
     and step counter carry over), and info must flag the stall."""
@@ -359,6 +365,7 @@ def test_reset_stall_reported_and_env_not_reset():
     assert stalled_seen, 'wall slam never finished an episode'
 
 
+@pytest.mark.slow
 def test_injected_pushing_reset_respects_min_distance():
     import dataclasses
 
@@ -408,6 +415,7 @@ def test_injected_pushing_reset_respects_min_distance():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_fused_autoreset_restarts_episodes():
     config, params = _mk(std=1e-5, num_cycles=12)
     b = 128
@@ -537,6 +545,7 @@ def test_fused_pushing_matches_xla_at_zero_noise(learn_jerk):
     assert (np.abs(np.asarray(fs.obj_pos - state.obj_pos)) > 1e-5).any()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize('learn_jerk', [False, True])
 def test_fused_pushing_inkernel_autoreset_semantics(learn_jerk):
     """In-kernel reset (acc AND jerk modes) with injected noise: step
@@ -584,6 +593,7 @@ def _planted_multi_state(config, params, b, starts, seed=5):
     return state
 
 
+@pytest.mark.slow
 def test_fused_multi_mover_autoreset_mechanics():
     """M=3 in-kernel autoreset with injected noise: collisions, counters,
     goal bookkeeping, reward values.  Movers planted close so head-on
@@ -626,6 +636,7 @@ def test_fused_multi_mover_autoreset_mechanics():
     assert collided_any, 'head-on movers never collided'
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize('learn_jerk', [False, True])
 def test_fused_multi_matches_xla_single_step_zero_noise(learn_jerk):
     """M=2, std=0: kernel cycle physics must match the XLA step bit-exactly
@@ -668,6 +679,7 @@ def test_fused_multi_matches_xla_single_step_zero_noise(learn_jerk):
     np.testing.assert_array_equal(np.asarray(fr), np.asarray(xr))
 
 
+@pytest.mark.slow
 def test_fused_multi_per_mover_radii_matches_xla():
     """Per-mover collision radii: fused cycle physics + collision flags match
     the XLA path at std=0 (radii differ per mover, so this catches any

@@ -338,7 +338,7 @@ def test_bit_determinism_and_batching():
     """Same seed => identical trajectory; vmapped batch row equals single env.
     (12 cycles: determinism doesn't depend on loop length, and the 40-cycle
     program is covered by the cross-engine trajectory tests.)"""
-    config, params = _mk_env(2, 12, False)
+    config, params = _mk_env(2, 12, False, layout=np.ones((4, 4)))
     key = jax.random.PRNGKey(42)
     state1, obs1, _ = planning.reset(config, params, key)
     state2, obs2, _ = planning.reset(config, params, key)

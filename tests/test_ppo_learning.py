@@ -6,6 +6,7 @@ for real: sharded-shape env batch -> on-device rollout -> GAE -> PPO updates.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -13,6 +14,7 @@ import jax.numpy as jnp
 from gymnasium_planar_robotics_tpu.models import planning, ppo
 
 
+@pytest.mark.slow
 def test_ppo_improves_on_dense_planning():
     config, params = planning.make_planning_env(
         np.ones((3, 3)), 1, std_noise=1e-5, dtype=jnp.float32, reward_mode='dense', a_max=3.0
