@@ -264,6 +264,9 @@ def bench_mixed(batch_each=2048):
     qc, qp = pushing.make_pushing_env(std_noise=1e-5, dtype=jnp.float32)
     ps, pobs, _ = planning.init_batch(pc, pp, jax.random.PRNGKey(0), batch_each)
     qs, qobs, _ = pushing.init_batch(qc, qp, jax.random.PRNGKey(1), batch_each)
+    # both families' fused in-kernel-autoreset kernels inside ONE jitted scan
+    p_step = planning.make_fused_step_autoreset(pc, pp)
+    q_step = pushing.make_fused_step_autoreset(qc, qp)
 
     @jax.jit
     def roll(ps, qs, key):
@@ -273,8 +276,8 @@ def bench_mixed(batch_each=2048):
             k1, k2 = jax.random.split(k)
             pa = jax.random.uniform(k1, (batch_each, 2), jnp.float32, -10.0, 10.0)
             qa = jax.random.uniform(k2, (batch_each, 2), jnp.float32, -10.0, 10.0)
-            ps, _, pr, *_ = planning.batched_step_autoreset(pc, pp, ps, pa)
-            qs, _, qr, *_ = pushing.batched_step_autoreset(qc, qp, qs, qa)
+            ps, _, pr, *_ = p_step(ps, pa)
+            qs, _, qr, *_ = q_step(qs, qa)
             return (ps, qs), pr.mean() + qr.mean()
         (ps, qs), ms = jax.lax.scan(body, (ps, qs), jax.random.split(sub, ROLLOUT_T))
         return ps, qs, key, ms
