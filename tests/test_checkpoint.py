@@ -43,3 +43,42 @@ def test_structure_mismatch_rejected(tmp_path):
         raise AssertionError('should have raised')
     except AssertionError as e:
         assert 'mismatch' in str(e)
+
+
+def test_learner_state_resume_bit_exact(tmp_path):
+    """Full training-run checkpoint: env state + policy + optimizer + RNG key
+    round-trip through orbax and training continues bit-exactly (the
+    framework-level resume story the reference has no analog for)."""
+    from gymnasium_planar_robotics_tpu.models import ppo
+
+    config, params = planning.make_planning_env(
+        np.ones((3, 3)), 1, std_noise=1e-5, dtype=jnp.float32, reward_mode='dense', num_cycles=8
+    )
+    cfg = ppo.PPOConfig(obs_dim=6, action_dim=2, hidden=(16, 16), rollout_steps=4, update_epochs=1)
+    pol = ppo.init_params(jax.random.PRNGKey(1), cfg)
+    train_step, optimizer = ppo.make_train_step(config, params, cfg, planning.step_autoreset)
+    opt_state = optimizer.init(pol)
+    state, obs, _ = planning.init_batch(config, params, jax.random.PRNGKey(2), 8)
+    obs_vec = jnp.concatenate(
+        [obs['observation'], obs['achieved_goal'], obs['desired_goal']], axis=-1
+    ).astype(jnp.float32)
+    runner = (state, obs_vec, pol, opt_state, jax.random.PRNGKey(3))
+    step = jax.jit(train_step)
+
+    for _ in range(2):
+        runner, _ = step(runner)
+    checkpoint.save(tmp_path, runner, step=2)
+
+    cont = runner
+    for _ in range(2):
+        cont, m_a = step(cont)
+
+    restored = checkpoint.restore(tmp_path, runner)
+    for _ in range(2):
+        restored, m_b = step(restored)
+
+    assert float(m_a['loss']) == float(m_b['loss'])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), cont[2], restored[2]
+    )
+    np.testing.assert_array_equal(np.asarray(cont[0].pos), np.asarray(restored[0].pos))
