@@ -828,8 +828,13 @@ def autoreset_select(done, stepped_state, reset_state, carry_key):
     return dataclasses.replace(kept, key=jnp.where(done, reset_state.key, carry_key))
 
 
+@partial(jax.jit, static_argnums=(0, 3))
 def init_batch(config: PlanningConfig, params: PlanningParams, key: jax.Array, batch: int):
-    """Vectorized reset for a batch of envs: returns batched state/obs/info."""
+    """Vectorized reset for a batch of envs: returns batched state/obs/info.
+
+    Jitted with static (config, batch): the vmapped bounded rejection sampler
+    dispatched eagerly costs ~20 s of op-by-op batched while_loops on CPU vs
+    a one-time ~5 s compile here (instant on repeat shapes)."""
     keys = jax.random.split(key, batch)
     return jax.vmap(partial(reset, config, params))(keys)
 

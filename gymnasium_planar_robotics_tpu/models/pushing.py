@@ -25,6 +25,7 @@ Reward/termination/info/reset semantics mirror the reference exactly
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any
 
 import jax
@@ -545,8 +546,11 @@ def step_autoreset(config: PushingConfig, params: PushingParams, state: PushingS
     return kept, out_obs, reward, terminated, truncated, info
 
 
+@partial(jax.jit, static_argnums=(0, 3))
 def init_batch(config, params, key, batch: int):
-    """Reset ``batch`` independent pushing envs from per-env fold-in keys."""
+    """Reset ``batch`` independent pushing envs from per-env fold-in keys.
+
+    Jitted with static (config, batch) — see planning.init_batch."""
     keys = jax.random.split(key, batch)
     return jax.vmap(lambda k: reset(config, params, k))(keys)
 
