@@ -611,7 +611,6 @@ def make_fused_step_autoreset(
         config.num_movers > 1
         and config.collision_shape == 'circle'
         and np.asarray(params.v_max).dtype == np.float32
-        and np.allclose(np.asarray(params.accel_scale), 1.0)  # see pallas_step.supports
     )
     if in_kernel_multi:
         fused_all = pallas_step.make_fused_planning_multi_autoreset_cycles(
@@ -620,6 +619,9 @@ def make_fused_step_autoreset(
         m = config.num_movers
         limit = params.j_max if config.learn_jerk else params.a_max
 
+        scale_vec = np.asarray(params.accel_scale).reshape(-1)
+        unit_scale = bool(np.allclose(scale_vec, 1.0))
+
         def step_fn(state: PlanningState, action: jnp.ndarray, noise=None):
             b = state.pos.shape[0]
             dtype = state.pos.dtype
@@ -627,20 +629,27 @@ def make_fused_step_autoreset(
             new_keys = jax.vmap(lambda k: jax.random.split(k, 1)[0])(state.key)
             seed = jax.random.randint(jax.random.fold_in(state.key[0], 19), (), 0, 2**31 - 1)
 
-            # in planning jerk mode qacc == the integrator act state, so the
-            # acc planes serve as both (ops/dynamics.jerk_cycle returns
-            # acc == act; reset zeroes both)
+            # kernel planes are control-space: the integrator act state in
+            # jerk mode (qacc = accel_scale * act; they coincide without a
+            # bumper — ops/dynamics.jerk_cycle), unused on entry in acc mode
+            a_in = state.act if config.learn_jerk else state.acc
+
+            def to_qacc(a):
+                return a if unit_scale else a * jnp.asarray(scale_vec, a.dtype)[None, :, None]
+
             (pos, vel, acc, goals, steps), obs_sel, obs_final, wall, mover, unreached, stalled, trials = fused_all(
-                state.pos, state.vel, state.acc, state.goals, state.steps, action, seed, noise=noise
+                state.pos, state.vel, a_in, state.goals, state.steps, action, seed, noise=noise
             )
-            acc = acc.astype(dtype)
+            act = acc.astype(dtype)
+            acc = to_qacc(act)
             new_state = PlanningState(
                 pos=pos.astype(dtype), vel=vel.astype(dtype), acc=acc,
-                act=acc if config.learn_jerk else jnp.zeros_like(acc),
+                act=act if config.learn_jerk else jnp.zeros_like(act),
                 goals=goals.astype(dtype), key=new_keys, steps=steps,
             )
             s_v, s_ag = obs_sel
             f_v, f_ag, f_acc = obs_final
+            f_acc = to_qacc(f_acc.astype(dtype))  # pre-reset qacc from act planes
             old_goal = state.goals.reshape(b, m * 2).astype(dtype)
 
             collided = wall | mover
@@ -691,6 +700,8 @@ def make_fused_step_autoreset(
         )
         limit = params.j_max if config.learn_jerk else params.a_max
 
+        scale1 = float(np.asarray(params.accel_scale).reshape(-1)[0])
+
         def step_fn(state: PlanningState, action: jnp.ndarray, noise=None):
             b = state.pos.shape[0]
             dtype = state.pos.dtype
@@ -698,22 +709,25 @@ def make_fused_step_autoreset(
             new_keys = jax.vmap(lambda k: jax.random.split(k, 1)[0])(state.key)
             seed = jax.random.randint(jax.random.fold_in(state.key[0], 17), (), 0, 2**31 - 1)
 
-            # jerk mode: acc planes double as the integrator act state (they
-            # coincide in planning — see the multi-mover wrapper note)
+            # kernel planes are control-space (integrator act in jerk mode;
+            # the body's qacc = accel_scale * act — ops/dynamics.jerk_cycle)
             a_state = state.act[:, 0] if config.learn_jerk else state.acc[:, 0]
             (pos, vel, acc, goals, steps), obs_sel, obs_final, wall, reached, stalled, trials = fused_all(
                 state.pos[:, 0], state.vel[:, 0], a_state, state.goals[:, 0],
                 state.steps, action, seed, noise=noise,
             )
             as_m = lambda x: x[:, None, :].astype(dtype)
-            acc_m = as_m(acc)
+            act_m = as_m(acc)
+            acc_m = act_m if scale1 == 1.0 else scale1 * act_m
             new_state = PlanningState(
                 pos=as_m(pos), vel=as_m(vel), acc=acc_m,
-                act=acc_m if config.learn_jerk else acc_m * 0,
+                act=act_m if config.learn_jerk else act_m * 0,
                 goals=as_m(goals), key=new_keys, steps=steps,
             )
             old_goal = state.goals[:, 0].astype(dtype)
             f_v, f_ag, f_acc = (x.astype(dtype) for x in obs_final)
+            if scale1 != 1.0:
+                f_acc = scale1 * f_acc  # pre-reset qacc from the act plane
             s_v, s_ag = (x.astype(dtype) for x in obs_sel)
 
             mover = jnp.zeros((b,), jnp.bool_)
@@ -737,7 +751,7 @@ def make_fused_step_autoreset(
                 'desired_goal': old_goal,
             }
             out_obs = {
-                'observation': _obs_vec(s_v, acc.astype(dtype)),
+                'observation': _obs_vec(s_v, acc_m[:, 0]),
                 'achieved_goal': s_ag,
                 'desired_goal': goals.astype(dtype),
             }

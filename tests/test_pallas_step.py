@@ -708,3 +708,95 @@ def test_fused_multi_per_mover_radii_matches_xla():
         collided = collided or bool(np.asarray(xi['mover_collision']).any())
         state = xs
     assert collided, 'head-on movers never collided at mixed radii'
+
+
+# ---------------------------------------------------------------------------
+# bumpered mesh movers (accel_scale != 1) in-kernel
+# ---------------------------------------------------------------------------
+
+
+def _scaled_params(params, scales):
+    import dataclasses
+
+    return dataclasses.replace(
+        params, accel_scale=jnp.asarray(np.asarray(scales, np.float64), jnp.float32)
+    )
+
+
+@pytest.mark.parametrize('learn_jerk', [False, True])
+def test_fused_accel_scale_matches_xla(learn_jerk):
+    """Bumpered mesh movers (qacc = accel_scale * command/act): the fused
+    step bit-matches the XLA path at std=0 — the config round 1 excluded
+    from the kernels entirely (reference bumper mass, basic_envs.py:911-925)."""
+    config, params = _mk(std=0.0, learn_jerk=learn_jerk, num_cycles=12)
+    params = _scaled_params(params, [0.8125])  # exact in f32
+    assert pallas_step.supports(config, params)
+    b = 128
+    state = _random_states(config, params, b, seed=51)
+    limit = 80.0 if learn_jerk else 8.0
+    actions = jax.random.uniform(jax.random.PRNGKey(52), (b, 2), jnp.float32, -limit, limit)
+
+    xs, _, xr, xt, _, xi = planning.batched_step(config, params, state, actions)
+    fused_step = planning.make_fused_step(config, params, interpret=True)
+    fs, _, fr, ft, _, fi = fused_step(state, actions)
+
+    # ulp-level tolerance: the extra accel_scale multiply lets XLA contract
+    # FMAs differently in the two programs (same note as the pushing kernel)
+    tol = dict(rtol=2e-6, atol=2e-7)
+    np.testing.assert_allclose(np.asarray(fs.pos), np.asarray(xs.pos), **tol)
+    np.testing.assert_allclose(np.asarray(fs.vel), np.asarray(xs.vel), **tol)
+    np.testing.assert_allclose(np.asarray(fs.acc), np.asarray(xs.acc), **tol)
+    if learn_jerk:
+        np.testing.assert_allclose(np.asarray(fs.act), np.asarray(xs.act), **tol)
+        # the body accelerates slower than the integrator state
+        moving = np.abs(np.asarray(xs.act)) > 1e-6
+        assert (np.abs(np.asarray(xs.acc)[moving]) < np.abs(np.asarray(xs.act)[moving])).all()
+    np.testing.assert_array_equal(np.asarray(fi['wall_collision']), np.asarray(xi['wall_collision']))
+
+
+def test_fused_autoreset_accel_scale_matches_xla():
+    """Single-mover in-kernel autoreset with accel_scale != 1: live-lane
+    physics and rewards bit-match the XLA step."""
+    config, params = _mk(std=0.0, num_cycles=12)
+    params = _scaled_params(params, [0.75])
+    b = 128
+    state = _random_states(config, params, b, seed=53)
+    actions = jax.random.uniform(jax.random.PRNGKey(54), (b, 2), jnp.float32, -8.0, 8.0)
+
+    xs, _, xr, xt, _, xi = planning.batched_step(config, params, state, actions)
+    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True, cand_k=2)
+    u = _uniforms(jax.random.PRNGKey(55), step.noise_planes, b)
+    fs, fo, fr, ft, ftr, fi = step(state, actions, noise=u)
+
+    live = ~np.asarray(xt)
+    tol = dict(rtol=2e-6, atol=2e-7)
+    np.testing.assert_allclose(np.asarray(fs.pos)[live], np.asarray(xs.pos)[live], **tol)
+    np.testing.assert_allclose(np.asarray(fs.vel)[live], np.asarray(xs.vel)[live], **tol)
+    np.testing.assert_allclose(np.asarray(fs.acc)[live], np.asarray(xs.acc)[live], **tol)
+    np.testing.assert_array_equal(np.asarray(fr), np.asarray(xr))
+
+
+def test_fused_multi_accel_scale_matches_xla():
+    """M=2 with DIFFERENT per-mover accel scales (mesh mover + bumper next
+    to a plain mover): fused cycle physics matches the XLA path at std=0."""
+    config, params = planning.make_planning_env(
+        np.ones((4, 4)), 2, std_noise=0.0, num_cycles=12, dtype=jnp.float32
+    )
+    params = _scaled_params(params, [1.0, 0.8125])
+    b = 128
+    state, obs, _ = planning.init_batch(config, params, jax.random.PRNGKey(56), b)
+    actions = jax.random.uniform(jax.random.PRNGKey(57), (b, 4), jnp.float32, -8.0, 8.0)
+
+    xs, _, xr, xt, _, xi = planning.batched_step(config, params, state, actions)
+    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True, cand_k=2)
+    u = _uniforms(jax.random.PRNGKey(58), step.noise_planes, b)
+    fs, fo, fr, ft, ftr, fi = step(state, actions, noise=u)
+
+    live = ~np.asarray(xt)
+    tol = dict(rtol=2e-6, atol=2e-7)
+    np.testing.assert_allclose(np.asarray(fs.pos)[live], np.asarray(xs.pos)[live], **tol)
+    np.testing.assert_allclose(np.asarray(fs.vel)[live], np.asarray(xs.vel)[live], **tol)
+    np.testing.assert_allclose(np.asarray(fs.acc)[live], np.asarray(xs.acc)[live], **tol)
+    np.testing.assert_array_equal(np.asarray(fr), np.asarray(xr))
+    # mover 1 (scaled) really accelerates slower than commanded
+    assert (np.abs(np.asarray(fs.acc)[live][:, 1]) <= np.abs(np.asarray(fs.acc)[live][:, 0]).max() + 1e-6).all()
