@@ -49,15 +49,20 @@ class _JaxGymEnv(gym.Env):
 
     metadata = {'render_modes': ['human', 'rgb_array', 'depth_array', 'human_2d', 'rgb_array_2d'], 'render_fps': 25}
 
-    def __init__(self, model, config, params, render_mode: str | None = None):
+    def __init__(self, model, config, params, render_mode: str | None = None,
+                 render_every_cycle: bool = False):
         self._model = model
         self.config = config
         self.params = params
         self.render_mode = render_mode
+        #: render after every 1 ms control cycle inside step(), not just at
+        #: step boundaries (reference basic_envs.py:1708,1884-1885)
+        self.render_every_cycle = bool(render_every_cycle)
         self._state = None
         self._viewer = None
         self._viewer3d = None
         self._step_jit = jax.jit(lambda s, a: model.step(config, params, s, a))
+        self._step_cycles_jit = jax.jit(lambda s, a: model.step_with_cycles(config, params, s, a))
         # plain (no-override) resets go through jit; option-overridden resets
         # (rare, shape-changing) fall back to eager in _reset_core
         self._reset_jit = jax.jit(lambda k: model.reset(config, params, k))
@@ -88,9 +93,15 @@ class _JaxGymEnv(gym.Env):
                 f'{action}'
             )
             action = np.clip(action, self.action_space.low, self.action_space.high)
-        self._state, obs, reward, terminated, truncated, info = self._step_jit(
-            self._state, jnp.asarray(action)
-        )
+        if self.render_every_cycle and self.render_mode is not None:
+            (self._state, obs, reward, terminated, truncated, info, cyc) = self._step_cycles_jit(
+                self._state, jnp.asarray(action)
+            )
+            self._render_cycles(cyc)
+        else:
+            self._state, obs, reward, terminated, truncated, info = self._step_jit(
+                self._state, jnp.asarray(action)
+            )
         # reward-shape guard (basic_envs.py:1943-1948): a scalar or shape-(1,)
         # array; anything else means a broken compute_reward override
         r = np.asarray(reward)
@@ -105,6 +116,22 @@ class _JaxGymEnv(gym.Env):
             bool(truncated),
             self._np_info(info),
         )
+
+    def _render_cycles(self, cyc):
+        """Replay the per-cycle poses through the active viewer: each frame
+        temporarily swaps the state's pose fields, renders, then the final
+        state is restored (the reference renders inside its cycle loop,
+        basic_envs.py:1884-1885)."""
+        final_state = self._state
+        for c in range(int(cyc[0].shape[0])):
+            self._state = self._cycle_state(final_state, cyc, c)
+            self.render()
+        self._state = final_state
+
+    def _cycle_state(self, final_state, cyc, c):
+        import dataclasses
+
+        return dataclasses.replace(final_state, pos=cyc[0][c], vel=cyc[1][c])
 
     def render(self):
         """'human'/'rgb_array'/'depth_array' drive the live 3D MuJoCo mirror
@@ -164,14 +191,17 @@ class PlanningGymEnv(_JaxGymEnv):
         num_movers: int = 1,
         render_mode: str | None = None,
         dtype=None,
+        render_every_cycle: bool = False,
         **kwargs,
     ):
         layout_tiles = np.ones((3, 3)) if layout_tiles is None else np.asarray(layout_tiles)
         dtype = _default_dtype(dtype)
+        self._render_every_cycle_init = render_every_cycle
         config, params = planning_model.make_planning_env(
             layout_tiles=layout_tiles, num_movers=num_movers, dtype=dtype, **kwargs
         )
-        super().__init__(planning_model, config, params, render_mode)
+        super().__init__(planning_model, config, params, render_mode,
+                         render_every_cycle=self._render_every_cycle_init)
 
         m = config.num_movers
         hi = np.asarray(params.grid.workspace_max_xy)
@@ -243,10 +273,12 @@ class PlanningGymEnv(_JaxGymEnv):
 class PushingGymEnv(_JaxGymEnv):
     """``BenchmarkPushingEnv-v0``: push the box object to its goal."""
 
-    def __init__(self, render_mode: str | None = None, dtype=None, **kwargs):
+    def __init__(self, render_mode: str | None = None, dtype=None,
+                 render_every_cycle: bool = False, **kwargs):
         dtype = _default_dtype(dtype)
         config, params = pushing_model.make_pushing_env(dtype=dtype, **kwargs)
-        super().__init__(pushing_model, config, params, render_mode)
+        super().__init__(pushing_model, config, params, render_mode,
+                         render_every_cycle=render_every_cycle)
 
         hi = np.asarray(params.grid.workspace_max_xy)
         jerk_dims = (2 + int(config.learn_jerk)) * 2
@@ -259,6 +291,13 @@ class PushingGymEnv(_JaxGymEnv):
         )
         limit = float(params.j_max if config.learn_jerk else params.a_max)
         self.action_space = gym.spaces.Box(-limit, limit, shape=(2,), dtype=np.float64)
+
+    def _cycle_state(self, final_state, cyc, c):
+        import dataclasses
+
+        return dataclasses.replace(
+            final_state, pos=cyc[0][c], vel=cyc[1][c], obj_pos=cyc[2][c], obj_yaw=cyc[3][c]
+        )
 
     def _reset_core(self, key, options):
         if options.get('mover_start_xy_pos') is None and options.get('object_goal_xy_pos') is None:

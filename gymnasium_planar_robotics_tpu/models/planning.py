@@ -408,11 +408,9 @@ def reset(
 # ---------------------------------------------------------------------------
 
 
-def step(
+def _step_core(
     config: PlanningConfig, params: PlanningParams, state: PlanningState, action: jnp.ndarray
-) -> tuple[PlanningState, dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray, jnp.ndarray, dict[str, jnp.ndarray]]:
-    """One env step = ``num_cycles`` 1 ms control cycles with per-cycle noisy
-    collision checks and a latched early stop (basic_envs.py:1835-1950)."""
+):
     m = config.num_movers
     dtype = state.pos.dtype
     limit = params.j_max if config.learn_jerk else params.a_max
@@ -457,7 +455,10 @@ def step(
         wall = jnp.where(done, wall, new_wall)
         mover = jnp.where(done, mover, new_mover)
         done = done | wall | mover
-        return (pos, vel, acc, act, wall, mover, done), None
+        # per-cycle pose emitted for render_every_cycle (reference
+        # basic_envs.py:1884-1885); frozen after the collision latch, and
+        # dead-code-eliminated when the caller discards it
+        return (pos, vel, acc, act, wall, mover, done), (pos, vel)
 
     init = (
         state.pos,
@@ -468,7 +469,7 @@ def step(
         jnp.asarray(False),
         jnp.asarray(False),
     )
-    (pos, vel, acc, act, wall, mover, _), _ = jax.lax.scan(cycle, init, (vel_noise, pose_noise))
+    (pos, vel, acc, act, wall, mover, _), cyc = jax.lax.scan(cycle, init, (vel_noise, pose_noise))
 
     new_state = PlanningState(
         pos=pos, vel=vel, acc=acc, act=act, goals=state.goals, key=key, steps=state.steps + 1
@@ -478,7 +479,25 @@ def step(
     reward = compute_reward(config, params, obs['achieved_goal'], obs['desired_goal'], mover, wall)
     terminated = jnp.abs(reward) == REWARD_SUCCESS  # benchmark_planning_env.py:477-479
     truncated = jnp.asarray(False)  # TimeLimit handled by adapters / autoreset
-    return new_state, obs, reward, terminated, truncated, info
+    return (new_state, obs, reward, terminated, truncated, info), cyc
+
+
+def step(
+    config: PlanningConfig, params: PlanningParams, state: PlanningState, action: jnp.ndarray
+) -> tuple[PlanningState, dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray, jnp.ndarray, dict[str, jnp.ndarray]]:
+    """One env step = ``num_cycles`` 1 ms control cycles with per-cycle noisy
+    collision checks and a latched early stop (basic_envs.py:1835-1950)."""
+    return _step_core(config, params, state, action)[0]
+
+
+def step_with_cycles(
+    config: PlanningConfig, params: PlanningParams, state: PlanningState, action: jnp.ndarray
+):
+    """``step`` plus the per-cycle ``(pos[C, M, 2], vel[C, M, 2])``
+    trajectory, for the adapters' ``render_every_cycle`` mode (reference
+    ``basic_envs.py:1708,1884-1885``)."""
+    out, cyc = _step_core(config, params, state, action)
+    return (*out, cyc)
 
 
 def _get_obs(

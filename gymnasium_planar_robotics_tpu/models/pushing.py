@@ -274,9 +274,7 @@ def reset(
     return state, obs, info
 
 
-def step(config: PushingConfig, params: PushingParams, state: PushingState, action: jnp.ndarray):
-    """One env step: 40 cycles of (clamp chain -> contact -> integrate ->
-    noisy wall check) with latched early stop."""
+def _step_core(config: PushingConfig, params: PushingParams, state: PushingState, action: jnp.ndarray):
     dtype = state.pos.dtype
     limit = params.j_max if config.learn_jerk else params.a_max
     action = jnp.clip(jnp.asarray(action, dtype).reshape(2), -limit, limit)
@@ -344,11 +342,13 @@ def step(config: PushingConfig, params: PushingParams, state: PushingState, acti
         obj_w = jnp.where(done, obj_w, w_obj)
         wall = jnp.where(done, wall, new_wall)
         done = done | wall
-        return (pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, wall, done), None
+        # per-cycle poses for render_every_cycle (basic_envs.py:1884-1885);
+        # dead-code-eliminated when the caller discards them
+        return (pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, wall, done), (pos, vel, obj_pos, obj_yaw)
 
     init = (state.pos, state.vel, state.acc, state.act, state.obj_pos, state.obj_vel,
             state.obj_yaw, state.obj_w, jnp.asarray(False), jnp.asarray(False))
-    (pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, wall, _), _ = jax.lax.scan(
+    (pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, wall, _), cyc = jax.lax.scan(
         cycle, init, (vel_noise, pose_noise)
     )
 
@@ -362,7 +362,20 @@ def step(config: PushingConfig, params: PushingParams, state: PushingState, acti
     reward = compute_reward(params, obs['achieved_goal'], obs['desired_goal'], wall)
     terminated = reward == REWARD_WALL_COLLISION  # benchmark_pushing_env.py:474-476
     truncated = jnp.asarray(False)
-    return new_state, obs, reward, terminated, truncated, info
+    return (new_state, obs, reward, terminated, truncated, info), cyc
+
+
+def step(config: PushingConfig, params: PushingParams, state: PushingState, action: jnp.ndarray):
+    """One env step: 40 cycles of (clamp chain -> contact -> integrate ->
+    noisy wall check) with latched early stop."""
+    return _step_core(config, params, state, action)[0]
+
+
+def step_with_cycles(config: PushingConfig, params: PushingParams, state: PushingState, action: jnp.ndarray):
+    """``step`` plus per-cycle ``(pos, vel, obj_pos, obj_yaw)`` stacks for
+    the adapters' ``render_every_cycle`` mode (reference basic_envs.py:1708)."""
+    out, cyc = _step_core(config, params, state, action)
+    return (*out, cyc)
 
 
 def _get_obs(config, params, state: PushingState, key):

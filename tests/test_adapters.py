@@ -179,3 +179,32 @@ def test_pettingzoo_official_parallel_api():
 
     penv = PlanningParallelEnv(num_movers=2)
     parallel_api_test(penv, num_cycles=60)
+
+
+def test_render_every_cycle():
+    """render_every_cycle renders after each 1 ms cycle inside step()
+    (reference basic_envs.py:1708,1884-1885): num_cycles frames plus the
+    final step-boundary render, with intermediate poses along the motion."""
+    env = gym.make(
+        'BenchmarkPlanningEnv-v0', num_movers=1, num_cycles=6,
+        render_mode='rgb_array_2d', render_every_cycle=True,
+    ).unwrapped
+    env.reset(seed=0)
+    seen = []
+    orig_render = env.render
+    env.render = lambda: (seen.append(np.asarray(env._state.pos).copy()), orig_render())[1]
+    env.step(np.array([5.0, 0.0]))
+    assert len(seen) == 7  # 6 cycles + 1 final
+    xs = np.asarray(seen)[:, 0, 0]
+    assert (np.diff(xs[:6]) > 0).all(), 'per-cycle frames should advance monotonically'
+    np.testing.assert_allclose(xs[5], xs[6])  # final render shows the final pose
+    env.close()
+
+    env2 = gym.make(
+        'BenchmarkPushingEnv-v0', num_cycles=6, render_mode='rgb_array_2d',
+        render_every_cycle=True,
+    ).unwrapped
+    env2.reset(seed=1)
+    env2.step(np.array([3.0, 0.0]))
+    assert np.asarray(env2.render()).ndim == 3
+    env2.close()
