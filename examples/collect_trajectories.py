@@ -36,8 +36,10 @@ def main():
             actions = jax.random.uniform(k, (args.batch, 2), jnp.float32, -10.0, 10.0)
             state, obs, reward, term, trunc, info = step(state, actions)
             w.append_pytree({'obs': obs, 'action': actions, 'reward': reward, 'done': term | trunc})
-        print(f'wrote {w.frames_written} frames to {args.out} '
-              f'({"native" if trajstore.native_available() else "python"} writer)')
+    # report after close(): the native writer appends on a background thread,
+    # so frames_written only reflects every append once the writer has drained
+    print(f'wrote {w.frames_written} frames to {args.out} '
+          f'({"native" if trajstore.native_available() else "python"} writer)')
 
     with trajstore.TrajReader(args.out) as r:
         print(f'readable frames: {len(r)}; frame 0 leaves: {len(r.get_arrays(0))}')
