@@ -208,3 +208,35 @@ def test_render_every_cycle():
     env2.step(np.array([3.0, 0.0]))
     assert np.asarray(env2.render()).ndim == 3
     env2.close()
+
+
+def test_vector_env_fused_dispatch_wiring(monkeypatch):
+    """The VectorEnv's fused-kernel dispatch (normally TPU-only) is
+    exercisable in CI: spoof the backend check and build the kernels in
+    interpret mode — the wiring (gating, jit of the fused step, obs/info
+    plumbing) is identical to the hardware path (round-1 Weak #6)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from gymnasium_planar_robotics_tpu.envs import vector_env
+    from gymnasium_planar_robotics_tpu.models import planning
+
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+    monkeypatch.setattr(
+        planning, 'make_fused_step_autoreset',
+        partial(planning.make_fused_step_autoreset, interpret=True),
+    )
+    venv = vector_env.PlanningVectorEnv(num_envs=128, num_movers=1, num_cycles=6, dtype=jnp.float32)
+    assert venv.using_fused, 'fused dispatch did not engage under the spoofed backend'
+    obs, info = venv.reset(seed=0)
+    actions = np.zeros((128, 2), np.float32)
+    obs, rew, term, trunc, info = venv.step(actions)
+    assert obs['observation'].shape[0] == 128
+    assert np.isfinite(rew).all()
+    assert 'reset_stalled' in info
+
+    # non-multiple-of-128 batches fall back, observably
+    venv2 = vector_env.PlanningVectorEnv(num_envs=64, num_movers=1, num_cycles=6, dtype=jnp.float32)
+    assert not venv2.using_fused
