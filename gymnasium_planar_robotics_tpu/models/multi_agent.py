@@ -75,7 +75,7 @@ def make_batched_parallel_step(config: planning.PlanningConfig, params: planning
         jax.default_backend() in ('tpu', 'axon')  # Mosaic kernels are TPU-only
         and config.collision_shape == 'circle'
         and _np.asarray(params.v_max).dtype == _np.float32
-        and _np.allclose(_np.asarray(params.accel_scale), 1.0)  # see pallas_step.supports
+        # accel_scale (bumpered movers) is baked into the kernels statically
     )
     fused_step = planning.make_fused_step_autoreset(config, params) if fused_ok else None
 
