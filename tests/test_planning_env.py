@@ -384,3 +384,20 @@ def test_autoreset_timelimit():
             saw_truncation = True
         prev_steps = int(state.steps)
     assert saw_truncation, 'no episode ever reached the time limit'
+
+
+def test_step_with_cycles_bit_matches_step():
+    """step_with_cycles is step plus the per-cycle trajectory: the step
+    outputs are bit-identical (same RNG path), the trajectory has
+    num_cycles frames and ends at the final state."""
+    config, params = _mk_env(1, 6, False, layout=np.ones((3, 3)))
+    state, obs, _ = planning.reset(config, params, jax.random.PRNGKey(5))
+    action = jnp.asarray([4.0, -2.0])
+    s1, o1, r1, t1, tr1, i1 = planning.step(config, params, state, action)
+    s2, o2, r2, t2, tr2, i2, cyc = planning.step_with_cycles(config, params, state, action)
+    np.testing.assert_array_equal(np.asarray(s1.pos), np.asarray(s2.pos))
+    np.testing.assert_array_equal(np.asarray(o1['observation']), np.asarray(o2['observation']))
+    assert float(r1) == float(r2)
+    assert cyc[0].shape == (6, config.num_movers, 2)
+    np.testing.assert_array_equal(np.asarray(cyc[0][-1]), np.asarray(s1.pos))
+    np.testing.assert_array_equal(np.asarray(cyc[1][-1]), np.asarray(s1.vel))

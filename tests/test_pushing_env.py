@@ -216,3 +216,21 @@ def test_autoreset_and_batching():
     # every env restarted at least once by the 50-step limit
     assert (np.asarray(state.steps) < 55).all()
     assert np.isfinite(np.asarray(obs['observation'])).all()
+
+
+def test_step_with_cycles_bit_matches_step():
+    """Pushing step_with_cycles: identical step outputs plus per-cycle
+    (pos, vel, obj_pos, obj_yaw) stacks ending at the final state."""
+    import jax
+
+    config, params = pushing.make_pushing_env(std_noise=1e-5, num_cycles=6, dtype=jnp.float32)
+    state, obs, _ = pushing.reset(config, params, jax.random.PRNGKey(5))
+    action = jnp.asarray([4.0, 0.0], jnp.float32)
+    s1, o1, r1, *_ = pushing.step(config, params, state, action)
+    s2, o2, r2, t2, tr2, i2, cyc = pushing.step_with_cycles(config, params, state, action)
+    np.testing.assert_array_equal(np.asarray(s1.pos), np.asarray(s2.pos))
+    np.testing.assert_array_equal(np.asarray(s1.obj_pos), np.asarray(s2.obj_pos))
+    assert float(r1) == float(r2)
+    assert cyc[2].shape == (6, 2)
+    np.testing.assert_array_equal(np.asarray(cyc[2][-1]), np.asarray(s1.obj_pos))
+    np.testing.assert_array_equal(np.asarray(cyc[3][-1]), np.asarray(s1.obj_yaw))
