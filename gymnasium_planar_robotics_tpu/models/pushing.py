@@ -115,9 +115,20 @@ def make_pushing_env(
     dtype=jnp.float32,
     max_reset_trials: int = 100,
 ) -> tuple[PushingConfig, PushingParams]:
-    """Constructor mirroring the reference's kwargs (fixed 3x3 layout, 1 mover)."""
+    """Constructor mirroring the reference's kwargs (fixed 3x3 layout, 1 mover).
+
+    ``mover_params`` accepts the reference's documented pushing keys
+    ('mass', 'size' — benchmark_pushing_env.py:104); mesh/bumper movers are
+    a planning-family feature and raise here rather than silently ignoring
+    the request (the contact model is calibrated for the box mover)."""
     mover_params = mover_params or {}
     collision_params = collision_params or {}
+    unsupported = set(mover_params) - {'mass', 'size'}
+    if unsupported:
+        raise ValueError(
+            f'unsupported mover_params keys for the pushing env: {sorted(unsupported)} '
+            "(supported: 'mass', 'size'; mesh/bumper movers are planning-only)"
+        )
 
     layout = np.ones((3, 3))
     tile_size = np.array([0.24 / 2, 0.24 / 2, 0.0352 / 2])
