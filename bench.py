@@ -178,11 +178,13 @@ def _run_scaling() -> None:
     }))
 
 
-def bench_planning_fused(batch=BATCH, num_movers=1, layout=None, **env_kwargs):
+def bench_planning_fused(batch=BATCH, num_movers=1, layout=None, n_mesh_devices=None, **env_kwargs):
     """Planning with the fused Pallas mega-kernel (whole autoreset step in one
     launch).  ``env_kwargs`` forwards to ``make_planning_env`` so jerk-mode
     (``learn_jerk=True``) and box-shape (``collision_params={'shape': 'box'}``)
-    fused configs are benchable too."""
+    fused configs are benchable too.  With ``n_mesh_devices`` the kernel runs
+    under shard_map over a device mesh (on this single-chip machine the
+    1-device mesh proves the multi-chip dispatch keeps the fused rate)."""
     from gymnasium_planar_robotics_tpu.models import planning
 
     config, params = planning.make_planning_env(
@@ -190,7 +192,14 @@ def bench_planning_fused(batch=BATCH, num_movers=1, layout=None, **env_kwargs):
         num_movers=num_movers, std_noise=1e-5, dtype=jnp.float32, **env_kwargs,
     )
     state, obs, _ = jax.block_until_ready(planning.init_batch(config, params, jax.random.PRNGKey(0), batch))
-    fused = planning.make_fused_step_autoreset(config, params)
+    if n_mesh_devices is None:
+        fused = planning.make_fused_step_autoreset(config, params)
+    else:
+        from gymnasium_planar_robotics_tpu.parallel import sharding
+
+        mesh = sharding.make_mesh(jax.devices()[:n_mesh_devices])
+        fused = sharding.make_sharded_fused_step(planning, config, params, mesh)
+        state = sharding.shard_batch(state, mesh)
     a_lim = float(np.asarray(params.j_max if config.learn_jerk else params.a_max))
 
     @jax.jit
@@ -313,6 +322,8 @@ def main() -> None:
             ('pushing 4096 envs', bench_pushing(4096), REF_PUSHING),
             ('planning 1-mover 4096 envs', bench_planning(4096, 1), REF_PLANNING_1),
             ('planning 1-mover 4096 envs (pallas fused)', bench_planning_fused(4096), REF_PLANNING_1),
+            ('planning 1-mover 4096 envs (fused, shard_map 1-device mesh)',
+             bench_planning_fused(4096, n_mesh_devices=1), REF_PLANNING_1),
             ('planning jerk-mode 4096 envs (pallas fused)', bench_planning_fused(4096, learn_jerk=True), REF_PLANNING_1),
             ('planning box-shape 4096 envs (pallas fused)',
              bench_planning_fused(4096, collision_params={'shape': 'box', 'size': np.array([0.09, 0.09])}), REF_PLANNING_1),

@@ -120,12 +120,17 @@ class _JaxGymEnv(gym.Env):
     def _render_cycles(self, cyc):
         """Replay the per-cycle poses through the active viewer: each frame
         temporarily swaps the state's pose fields, renders, then the final
-        state is restored (the reference renders inside its cycle loop,
-        basic_envs.py:1884-1885)."""
+        state is restored.  The replay stops after the colliding cycle's
+        frame — the reference renders inside its cycle loop and then breaks
+        out at the collision (basic_envs.py:1884-1905), so the frozen
+        post-collision poses are never shown as duplicate frames."""
         final_state = self._state
-        for c in range(int(cyc[0].shape[0])):
+        done = np.asarray(cyc[-1])
+        for c in range(int(done.shape[0])):
             self._state = self._cycle_state(final_state, cyc, c)
             self.render()
+            if done[c]:
+                break
         self._state = final_state
 
     def _cycle_state(self, final_state, cyc, c):

@@ -455,10 +455,10 @@ def _step_core(
         wall = jnp.where(done, wall, new_wall)
         mover = jnp.where(done, mover, new_mover)
         done = done | wall | mover
-        # per-cycle pose emitted for render_every_cycle (reference
-        # basic_envs.py:1884-1885); frozen after the collision latch, and
-        # dead-code-eliminated when the caller discards it
-        return (pos, vel, acc, act, wall, mover, done), (pos, vel)
+        # per-cycle pose + done emitted for render_every_cycle (reference
+        # basic_envs.py:1884-1905 renders the colliding cycle's frame, then
+        # breaks); dead-code-eliminated when the caller discards it
+        return (pos, vel, acc, act, wall, mover, done), (pos, vel, done)
 
     init = (
         state.pos,
@@ -493,9 +493,10 @@ def step(
 def step_with_cycles(
     config: PlanningConfig, params: PlanningParams, state: PlanningState, action: jnp.ndarray
 ):
-    """``step`` plus the per-cycle ``(pos[C, M, 2], vel[C, M, 2])``
+    """``step`` plus the per-cycle ``(pos[C, M, 2], vel[C, M, 2], done[C])``
     trajectory, for the adapters' ``render_every_cycle`` mode (reference
-    ``basic_envs.py:1708,1884-1885``)."""
+    ``basic_envs.py:1708,1884-1885``); ``done`` lets the replay stop at the
+    colliding cycle like the reference's render-then-break."""
     out, cyc = _step_core(config, params, state, action)
     return (*out, cyc)
 

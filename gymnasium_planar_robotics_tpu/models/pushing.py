@@ -353,9 +353,10 @@ def _step_core(config: PushingConfig, params: PushingParams, state: PushingState
         obj_w = jnp.where(done, obj_w, w_obj)
         wall = jnp.where(done, wall, new_wall)
         done = done | wall
-        # per-cycle poses for render_every_cycle (basic_envs.py:1884-1885);
+        # per-cycle poses + done for render_every_cycle (basic_envs.py:
+        # 1884-1905 renders the colliding cycle's frame, then breaks);
         # dead-code-eliminated when the caller discards them
-        return (pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, wall, done), (pos, vel, obj_pos, obj_yaw)
+        return (pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, wall, done), (pos, vel, obj_pos, obj_yaw, done)
 
     init = (state.pos, state.vel, state.acc, state.act, state.obj_pos, state.obj_vel,
             state.obj_yaw, state.obj_w, jnp.asarray(False), jnp.asarray(False))
@@ -383,8 +384,9 @@ def step(config: PushingConfig, params: PushingParams, state: PushingState, acti
 
 
 def step_with_cycles(config: PushingConfig, params: PushingParams, state: PushingState, action: jnp.ndarray):
-    """``step`` plus per-cycle ``(pos, vel, obj_pos, obj_yaw)`` stacks for
-    the adapters' ``render_every_cycle`` mode (reference basic_envs.py:1708)."""
+    """``step`` plus per-cycle ``(pos, vel, obj_pos, obj_yaw, done)`` stacks
+    for the adapters' ``render_every_cycle`` mode (reference
+    basic_envs.py:1708); ``done`` stops the replay at the colliding cycle."""
     out, cyc = _step_core(config, params, state, action)
     return (*out, cyc)
 

@@ -173,6 +173,7 @@ def test_gymnasium_official_env_checker():
 
 def test_pettingzoo_official_parallel_api():
     """The multi-agent adapter passes PettingZoo's parallel_api_test."""
+    pytest.importorskip('pettingzoo')  # optional extra ([multiagent])
     from pettingzoo.test import parallel_api_test
 
     from gymnasium_planar_robotics_tpu.envs.pettingzoo_env import PlanningParallelEnv
@@ -208,6 +209,29 @@ def test_render_every_cycle():
     env2.step(np.array([3.0, 0.0]))
     assert np.asarray(env2.render()).ndim == 3
     env2.close()
+
+
+def test_render_every_cycle_stops_at_collision():
+    """Once the in-step collision latch fires, the per-cycle replay renders
+    the colliding cycle's frame and stops — the reference renders then breaks
+    out of its cycle loop (basic_envs.py:1884-1905), so the frozen
+    post-collision poses never appear as duplicate stationary frames."""
+    import jax.numpy as jnp
+
+    env = gym.make(
+        'BenchmarkPlanningEnv-v0', num_movers=1, num_cycles=6,
+        render_mode='rgb_array_2d', render_every_cycle=True,
+    ).unwrapped
+    env.reset(seed=0)
+    calls = []
+    env.render = lambda: calls.append(np.asarray(env._state.pos).copy())
+    pos = jnp.stack([env._state.pos + 0.001 * c for c in range(6)])
+    vel = jnp.zeros_like(pos)
+    done = jnp.asarray([False, False, True, True, True, True])
+    env._render_cycles((pos, vel, done))
+    assert len(calls) == 3, 'replay must stop after the colliding cycle frame'
+    np.testing.assert_allclose(np.asarray(calls[-1]), np.asarray(pos[2]))
+    env.close()
 
 
 def test_vector_env_fused_dispatch_wiring(monkeypatch):
