@@ -75,10 +75,10 @@ def _throughput(config, params, step_autoreset_fn, init_batch_fn, action_dim, ba
     return _best_rate(run_block, batch * ROLLOUT_T * TIMED_CALLS)
 
 
-def bench_pushing(batch=BATCH, fused=True):
+def bench_pushing(batch=BATCH, fused=True, **env_kwargs):
     from gymnasium_planar_robotics_tpu.models import pushing
 
-    config, params = pushing.make_pushing_env(std_noise=1e-5, dtype=jnp.float32)
+    config, params = pushing.make_pushing_env(std_noise=1e-5, dtype=jnp.float32, **env_kwargs)
     if not fused:
         return _throughput(config, params, pushing.step_autoreset, pushing.init_batch, 2, batch)
 
@@ -320,6 +320,8 @@ def main() -> None:
     if '--suite' in sys.argv:
         rows = [
             ('pushing 4096 envs', bench_pushing(4096), REF_PUSHING),
+            ('pushing mesh+bumper 4096 envs (pallas fused)',
+             bench_pushing(4096, mover_params={'shape': 'mesh', 'mesh': {'bumper_mass': 0.35}}), REF_PUSHING),
             ('planning 1-mover 4096 envs', bench_planning(4096, 1), REF_PLANNING_1),
             ('planning 1-mover 4096 envs (pallas fused)', bench_planning_fused(4096), REF_PLANNING_1),
             ('planning 1-mover 4096 envs (fused, shard_map 1-device mesh)',

@@ -13,10 +13,13 @@ P3/P4):
   them — benchmark_pushing_env.py:260-268; its K=1 stiffness lets z wander by
   millimeters during contact, which nothing observes: observations expose only
   x/y quantities);
-- mover-object contact is the quasi-2D penalty model of ``ops/contact.py``,
-  tolerance-calibrated against reference trajectories (object yaw is not
-  modeled; measured |yaw| < 0.003 rad under off-center pushes);
-- the contact reaction force does act back on the mover (as in MuJoCo).
+- mover-object contact is the quasi-2D penalty model of ``ops/contact.py``
+  (v2: object yaw state, minimum-translation face normal, sticky tangential
+  friction with a Coulomb cap, contact torque about the object center),
+  tolerance-calibrated against reference trajectories — see CALIBRATION.md
+  for per-case error-growth bounds over full 50-step episodes;
+- the contact reaction force does act back on the mover (as in MuJoCo),
+  divided by the TOTAL body mass (mover + bumper for mesh movers).
 
 Reward/termination/info/reset semantics mirror the reference exactly
 (benchmark_pushing_env.py:373-417, 457-527, 578-608).
@@ -53,8 +56,10 @@ class PushingConfig:
 @dataclasses.dataclass(frozen=True)
 class PushingParams:
     grid: Any
-    mover_mass: jax.Array  # scalar
-    mover_half: jax.Array  # [2] x/y half-extents of the mover box
+    mover_mass: jax.Array  # scalar actuator-gain mass (the configured mover mass)
+    accel_scale: jax.Array  # scalar gain-mass / total-body-mass (< 1 with a bumper geom)
+    total_mass: jax.Array  # scalar mover + bumper mass (divides the contact reaction)
+    mover_half: jax.Array  # [2] x/y half-extents of the mover box (mesh: AABB)
     c_size: jax.Array  # [1] or [1, 2]
     c_offset: jax.Array
     c_offset_wall: jax.Array
@@ -117,17 +122,21 @@ def make_pushing_env(
 ) -> tuple[PushingConfig, PushingParams]:
     """Constructor mirroring the reference's kwargs (fixed 3x3 layout, 1 mover).
 
-    ``mover_params`` accepts the reference's documented pushing keys
-    ('mass', 'size' — benchmark_pushing_env.py:104); mesh/bumper movers are
-    a planning-family feature and raise here rather than silently ignoring
-    the request (the contact model is calibrated for the box mover)."""
+    ``mover_params`` accepts 'mass', 'size', 'shape', 'mesh' — the reference's
+    base layer builds any of these movers for any env on top of it
+    (basic_envs.py:875-929), including mesh movers with a bumper geom whose
+    own mass joins the body (basic_envs.py:911-925) while the actuator gain
+    stays the configured mover mass.  The dynamics model that composition as
+    ``accel_scale`` = m_gain/(m_mover+m_bumper) on the commanded acceleration
+    and the TOTAL body mass under the contact reaction; the contact face uses
+    the (scaled) mesh AABB x/y half-extents."""
     mover_params = mover_params or {}
     collision_params = collision_params or {}
-    unsupported = set(mover_params) - {'mass', 'size'}
+    unsupported = set(mover_params) - {'mass', 'size', 'shape', 'mesh'}
     if unsupported:
         raise ValueError(
             f'unsupported mover_params keys for the pushing env: {sorted(unsupported)} '
-            "(supported: 'mass', 'size'; mesh/bumper movers are planning-only)"
+            "(supported: 'mass', 'size', 'shape', 'mesh')"
         )
 
     layout = np.ones((3, 3))
@@ -135,7 +144,29 @@ def make_pushing_env(
     grid = make_tile_grid(layout, tile_size, dtype=dtype)
 
     mover_mass = float(np.asarray(mover_params.get('mass', 1.24)).reshape(-1)[0])
-    mover_size = np.asarray(mover_params.get('size', np.array([0.155 / 2, 0.155 / 2, 0.012 / 2]))).reshape(-1)
+    mover_shape = mover_params.get('shape', 'box')
+    bumper_mass = 0.0
+    if mover_shape == 'mesh':
+        # size from the (scaled) mesh AABB, like the reference's
+        # _resolve_mover_size (basic_envs.py:1396-1437)
+        from gymnasium_planar_robotics_tpu.utils import meshes
+
+        mesh_cfg = mover_params.get('mesh', {})
+        mover_size = np.asarray(
+            meshes.resolve_mover_size(
+                'mesh', None,
+                mesh_cfg.get('mover_stl_path', 'beckhoff_apm4330_mover'),
+                mesh_cfg.get('scale', (1.0, 1.0, 1.0)),
+            )
+        ).reshape(-1)
+        if mesh_cfg.get('bumper_stl_path', 'beckhoff_apm4330_bumper') is not None:
+            bumper_mass = float(np.asarray(mesh_cfg.get('bumper_mass', 0.1)).reshape(-1)[0])
+            assert bumper_mass >= 0, 'Bumper mass must be non-negative.'
+    else:
+        assert mover_shape in ('box', 'cylinder'), f'unknown mover shape {mover_shape!r}'
+        mover_size = np.asarray(mover_params.get('size', np.array([0.155 / 2, 0.155 / 2, 0.012 / 2]))).reshape(-1)
+    total_mass = mover_mass + bumper_mass
+    accel_scale = mover_mass / total_mass
 
     c_shape = collision_params.get('shape', 'circle')
     c_size_in = collision_params.get('size', 0.11)
@@ -175,6 +206,8 @@ def make_pushing_env(
     params = PushingParams(
         grid=grid,
         mover_mass=jnp.asarray(mover_mass, dtype),
+        accel_scale=jnp.asarray(accel_scale, dtype),
+        total_mass=jnp.asarray(total_mass, dtype),
         mover_half=jnp.asarray(mover_size[:2], dtype),
         c_size=c_size,
         c_offset=jnp.asarray(c_offset, dtype),
@@ -324,7 +357,10 @@ def _step_core(config: PushingConfig, params: PushingParams, state: PushingState
             params.mover_half, params.object_half,
             params.contact_k, params.contact_b, params.contact_bt, params.contact_mu,
         )
-        qacc = ctrl_acc.reshape(2) + forces.f_mover / params.mover_mass
+        # body qacc: gain-mass-scaled command + contact reaction over the
+        # TOTAL body mass (mover + bumper); accel_scale == 1 multiplies
+        # exactly (IEEE), keeping the bumperless path bit-identical
+        qacc = params.accel_scale * ctrl_acc.reshape(2) + forces.f_mover / params.total_mass
         new_vel = vel + params.dt * qacc
         new_pos = pos + params.dt * new_vel
 

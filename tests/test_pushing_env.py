@@ -29,12 +29,14 @@ def _state(config, params, mover_xy, obj_xy, goal=(0.6, 0.6)):
     )
 
 
-def _run_reference(mover_start, obj_start, actions, learn_jerk=False):
+def _run_reference(mover_start, obj_start, actions, learn_jerk=False, mover_params=None):
     import_reference()
     from gymnasium_planar_robotics.envs.manipulation.benchmark_pushing_env import BenchmarkPushingEnv
     from gymnasium_planar_robotics.utils import mujoco_utils
 
-    env = BenchmarkPushingEnv(std_noise=0.0, render_mode=None, learn_jerk=learn_jerk)
+    env = BenchmarkPushingEnv(
+        std_noise=0.0, render_mode=None, learn_jerk=learn_jerk, mover_params=mover_params
+    )
     env.object_xy_start_pos = np.array(obj_start)
     env.object_xy_goal_pos = np.array([0.6, 0.6])
     env.reload_model(mover_start_xy_pos=np.array([mover_start]))
@@ -53,8 +55,12 @@ def _run_reference(mover_start, obj_start, actions, learn_jerk=False):
     return rows
 
 
-def _run_mine(mover_start, obj_start, actions, learn_jerk=False):
-    config, params = pushing.make_pushing_env(std_noise=0.0, learn_jerk=learn_jerk, dtype=jnp.float64)
+def _run_mine(mover_start, obj_start, actions, learn_jerk=False, mover_params=None, params_tweak=None):
+    config, params = pushing.make_pushing_env(
+        std_noise=0.0, learn_jerk=learn_jerk, dtype=jnp.float64, mover_params=mover_params
+    )
+    if params_tweak is not None:
+        params = params_tweak(params)
     st = _state(config, params, mover_start, obj_start)
     stepf = jax.jit(lambda s, a: pushing.step(config, params, s, a))
     rows = []
@@ -151,6 +157,62 @@ def test_contact_calibration_jerk_mode():
     for t, (r, m) in enumerate(zip(ref, mine)):
         err = max(abs(r['ox'] - m['ox']), abs(r['oy'] - m['oy']))
         assert err < 0.012, f'jerk t={t}: object err {err:.4f}'
+
+
+MESH_BUMPER = {'shape': 'mesh', 'mesh': {'bumper_mass': 0.35}}
+
+
+@pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
+@pytest.mark.parametrize('learn_jerk', [False, True])
+def test_mesh_bumper_free_motion_matches_reference(learn_jerk):
+    """Mesh mover WITH a bumper geom in the PUSHING family: the bumper's mass
+    joins the body (reference basic_envs.py:911-925) while the actuator gain
+    stays the configured mover mass, so the real acceleration is the command
+    scaled by m_gain/(m_mover+m_bumper).  Free-motion trajectories must track
+    the reference MuJoCo env (tolerance absorbs the ~1e-4-level COM-offset
+    coupling of the composed mesh body — see the planning twin test), and an
+    accel_scale=1 twin must diverge by >20x, proving the mass composition is
+    modeled rather than absorbed by tolerance."""
+    import dataclasses as _dc
+
+    actions = [[0.9, -0.4]] * 5 + [[-0.5, 0.8]] * 5
+    if learn_jerk:
+        actions = [[30.0, -12.0]] * 4 + [[-20.0, 25.0]] * 4
+    ref = _run_reference([0.20, 0.20], [0.60, 0.60], actions, learn_jerk, MESH_BUMPER)
+    mine = _run_mine([0.20, 0.20], [0.60, 0.60], actions, learn_jerk, MESH_BUMPER)
+    noscale = _run_mine(
+        [0.20, 0.20], [0.60, 0.60], actions, learn_jerk, MESH_BUMPER,
+        params_tweak=lambda p: _dc.replace(
+            p, accel_scale=jnp.ones_like(p.accel_scale), total_mass=p.mover_mass
+        ),
+    )
+
+    config, params = pushing.make_pushing_env(std_noise=0.0, dtype=jnp.float64, mover_params=MESH_BUMPER)
+    np.testing.assert_allclose(np.asarray(params.accel_scale), 1.24 / (1.24 + 0.35), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(params.total_mass), 1.24 + 0.35, atol=1e-12)
+
+    err_scaled = err_unscaled = 0.0
+    for t, (r, m, n) in enumerate(zip(ref, mine, noscale)):
+        for k in ('mx', 'my', 'mvx', 'mvy'):
+            assert abs(r[k] - m[k]) < 2e-3, f't={t} {k}: {r[k]} vs {m[k]}'
+            err_scaled = max(err_scaled, abs(r[k] - m[k]))
+            err_unscaled = max(err_unscaled, abs(r[k] - n[k]))
+        assert r['rew'] == m['rew'] and r['term'] == m['term'], f't={t}'
+    assert err_unscaled > 20 * max(err_scaled, 1e-12), (err_scaled, err_unscaled)
+
+
+@pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
+def test_mesh_bumper_contact_tracks_reference():
+    """A bumpered mesh mover pushing the object: the contact face is the mesh
+    AABB and the reaction divides by the TOTAL body mass; the object must
+    track the reference engine (looser tolerance than the box mover — the
+    real mesh's pushing face is not exactly its AABB)."""
+    actions = [[3.0, 0.0]] * 10
+    ref = _run_reference([0.24, 0.36], [0.43, 0.36], actions, mover_params=MESH_BUMPER)
+    mine = _run_mine([0.24, 0.36], [0.43, 0.36], actions, mover_params=MESH_BUMPER)
+    for t, (r, m) in enumerate(zip(ref, mine)):
+        err = max(abs(r['ox'] - m['ox']), abs(r['oy'] - m['oy']))
+        assert err < 0.015, f't={t}: object err {err:.4f}'
 
 
 @pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
