@@ -88,6 +88,8 @@ class PushingParams:
     gravity: jax.Array  # 9.81
     obj_inertia: jax.Array  # yaw inertia m*(hx^2 + hy^2)/3
     mu_spin: jax.Array  # torsional floor friction [rad/s^2 equivalent decel]
+    plow_kappa: jax.Array  # vertical load per unit impact force (floor N = m*g + kappa*f_imp)
+    plow_cap: jax.Array  # cap on the load uplift (N <= (1 + cap) * m*g)
 
 
 @jax.tree_util.register_dataclass
@@ -238,6 +240,17 @@ def make_pushing_env(
         # reference's friction=(1, 0.005, 1e-4) defaults, calibrated
         obj_inertia=jnp.asarray(obj_mass * (object_half**2 + object_half**2) / 3.0, dtype),
         mu_spin=jnp.asarray(60.0, dtype),
+        # measured in the reference engine: impact bursts of the intermittent
+        # hard contact press the object into the floor (tilted box-box
+        # normals; the tile-object normal reads ~1.45*m*g at the friction-
+        # cone limit during a push), so sustained pushes see extra floor
+        # friction.  kappa couples the load to the impact (damping) part of
+        # the normal force — quasi-static face-face pushes are unaffected —
+        # and the uplift is capped near the measured cone-limit value.
+        # Calibrated on the 50-step episode suite (tools/calibrate_contact.py,
+        # CALIBRATION.md) with the 10-step strong-push suite held green.
+        plow_kappa=jnp.asarray(4.0, dtype),
+        plow_cap=jnp.asarray(1.5, dtype),
     )
     return config, params
 
@@ -368,13 +381,22 @@ def _step_core(config: PushingConfig, params: PushingParams, state: PushingState
         # implicit joint damping as in MuJoCo's Euler integrator
         damp = 1.0 + params.dt * params.object_damping / params.object_mass
         v_obj = (obj_vel + params.dt * obj_acc) / damp
-        v_obj = contact.coulomb_floor_step(v_obj, mu_g_dt)
+        # floor friction under the PLOW LOAD: impact bursts of the reference's
+        # intermittent hard contact press the object down (tilted box-box
+        # normals — see ops/contact.box_push_contact_v2), so the load couples
+        # to the impact (damping) part of the force, capped near the measured
+        # cone-limit uplift: N = m*g * (1 + min(kappa*f_imp/(m*g), cap))
+        load = 1.0 + jnp.minimum(
+            params.plow_kappa * forces.f_imp / (params.object_mass * params.gravity),
+            params.plow_cap,
+        )
+        v_obj = contact.coulomb_floor_step(v_obj, mu_g_dt * load)
         new_obj_pos = obj_pos + params.dt * v_obj
         # yaw: contact torque, implicit rotational joint damping, torsional
         # floor friction (discrete Coulomb on omega)
         damp_w = 1.0 + params.dt * params.object_damping / params.obj_inertia
         w_obj = (obj_w + params.dt * forces.torque_obj / params.obj_inertia) / damp_w
-        w_obj = contact.coulomb_spin_step(w_obj, params.mu_spin * params.dt)
+        w_obj = contact.coulomb_spin_step(w_obj, params.mu_spin * params.dt * load)
         new_obj_yaw = obj_yaw + params.dt * w_obj
 
         new_wall = _wall_collision_with_noise(config, params, new_pos, npose, with_offset=False)

@@ -98,6 +98,8 @@ class ContactForcesV2(NamedTuple):
     torque_obj: jnp.ndarray  # [...] z-torque on the object about its center
     penetration: jnp.ndarray
     in_contact: jnp.ndarray
+    f_n_mag: jnp.ndarray = 0.0  # [...] normal-force magnitude
+    f_imp: jnp.ndarray = 0.0  # [...] impact (damping) part of the normal force (drives the plow load)
 
 
 def box_push_contact_v2(
@@ -132,7 +134,17 @@ def box_push_contact_v2(
       yaw state this fixes the diagonal-push divergence of the axis-aligned
       model (6 cm -> ~1 cm over 10 steps);
     - the normal force acts at the overlap-region center, so off-center and
-      corner contacts exert a yaw torque on the object.
+      corner contacts exert a yaw torque on the object;
+    - the returned ``f_imp`` (the damping part of the normal force) feeds the
+      PLOW LOAD: measured in the reference engine, the mover-object contact
+      carries a vertical component of ~0.5-1.0x the horizontal push that
+      presses the object into the floor (tile-object normal reads
+      mg + ~0.7*F_push at the friction-cone limit).  The effect comes from
+      the IMPACT bursts of MuJoCo's intermittent hard contact (tilted
+      box-box normals during re-impact), not from quasi-static face-face
+      pushing — so the load couples to the damping (approach-speed) part of
+      the force, leaving gentle velocity-matched pushes unaffected:
+      ``N_floor = m*g + kappa*f_imp`` — see ``coulomb_floor_step`` callers.
     """
     cos = jnp.cos(obj_yaw)
     sin = jnp.sin(obj_yaw)
@@ -195,6 +207,8 @@ def box_push_contact_v2(
         torque_obj=torque,
         penetration=pen * cmask,
         in_contact=in_contact,
+        f_n_mag=f_n_mag * cmask,
+        f_imp=jnp.minimum(jnp.maximum(0.0, -b_n * vn), f_n_mag) * cmask,
     )
 
 
