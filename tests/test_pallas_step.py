@@ -42,6 +42,44 @@ def _uniforms(key, n_planes, b):
     return jax.random.uniform(key, (n_planes, b), jnp.float32)
 
 
+@pytest.mark.parametrize('shape', [(1, 1), (1, 4), (2, 2), (3, 3), (4, 5)])
+def test_full_layout_wall_valid_specialization_exact(shape):
+    """The full-layout fast path of the kernel wall checks (union-rectangle
+    test, the round-3 box-kernel speedup) is EXACTLY the general per-cell
+    rule, fuzz-checked over random poses/sizes/rotations for both shapes."""
+    from types import SimpleNamespace
+
+    from gymnasium_planar_robotics_tpu.ops.grid import make_tile_grid
+
+    grid = make_tile_grid(np.ones(shape), np.array([0.12, 0.12, 0.0176]), dtype=jnp.float32)
+    grid_np = pallas_step._grid_np(SimpleNamespace(grid=grid))
+    assert grid_np['layout'].all()
+
+    rng = np.random.default_rng(hash(shape) % 2**31)
+    n = 4096
+    # positions spanning past the table edges on all sides
+    px = jnp.asarray(rng.uniform(-0.3, shape[0] * 0.24 + 0.3, n), jnp.float32)
+    py = jnp.asarray(rng.uniform(-0.3, shape[1] * 0.24 + 0.3, n), jnp.float32)
+
+    spec_c = pallas_step._make_wall_valid(grid_np)
+    gen_c = pallas_step._make_wall_valid_general(grid_np)
+    for c in (0.01, 0.055, 0.11):
+        np.testing.assert_array_equal(np.asarray(spec_c(px, py, c)), np.asarray(gen_c(px, py, c)), err_msg=f'circle c={c}')
+
+    spec_b = pallas_step._make_wall_valid_box(grid_np)
+    gen_b = pallas_step._make_wall_valid_box_general(grid_np)
+    q = rng.normal(size=(4, n)) * 0.05
+    R00, R01, R10, R11 = pallas_step._quat_to_R2(
+        jnp.asarray(1.0 + q[0], jnp.float32), *(jnp.asarray(qi, jnp.float32) for qi in q[1:])
+    )
+    for chx, chy in ((0.02, 0.05), (0.09, 0.09), (0.12, 0.06)):
+        np.testing.assert_array_equal(
+            np.asarray(spec_b(px, py, R00, R01, R10, R11, chx, chy)),
+            np.asarray(gen_b(px, py, R00, R01, R10, R11, chx, chy)),
+            err_msg=f'box {chx}x{chy}',
+        )
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize('learn_jerk', [False, True])
 def test_fused_matches_xla_at_zero_noise(learn_jerk):
