@@ -331,6 +331,9 @@ def main() -> None:
              bench_planning_fused(4096, collision_params={'shape': 'box', 'size': np.array([0.09, 0.09])}), REF_PLANNING_1),
             ('planning 4-mover 256 envs (pallas fused)', bench_planning_fused(256, 4, np.ones((4, 4))), REF_PLANNING_4),
             ('planning 4-mover 4096 envs (pallas fused)', bench_planning_fused(4096, 4, np.ones((4, 4))), REF_PLANNING_4),
+            ('planning 4-mover box-shape 4096 envs (pallas fused)',
+             bench_planning_fused(4096, 4, np.ones((4, 4)),
+                                  collision_params={'shape': 'box', 'size': np.array([0.09, 0.09])}), REF_PLANNING_4),
             ('multi-agent 4x1024 envs', bench_multiagent(1024, 4), REF_PLANNING_4),
             ('mixed planning+pushing 4096 envs', bench_mixed(2048), REF_PUSHING),
         ]

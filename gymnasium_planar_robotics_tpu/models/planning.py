@@ -629,7 +629,6 @@ def make_fused_step_autoreset(
 
     in_kernel_multi = (
         config.num_movers > 1
-        and config.collision_shape == 'circle'
         and np.asarray(params.v_max).dtype == np.float32
     )
     if in_kernel_multi:

@@ -787,6 +787,67 @@ def test_fused_multi_per_mover_radii_matches_xla():
     assert collided, 'head-on movers never collided at mixed radii'
 
 
+@pytest.mark.parametrize('learn_jerk', [False, True])
+def test_fused_multi_box_matches_xla_zero_noise(learn_jerk):
+    """BOX collision shape in the M-mover kernel (round-2 VERDICT item #5):
+    cycle physics, wall flags and PAIR flags (16-segment rotated-rectangle
+    test) must match the XLA path bit-exactly at std=0."""
+    config, params = planning.make_planning_env(
+        np.ones((4, 4)), 2, std_noise=0.0, num_cycles=12, learn_jerk=learn_jerk,
+        dtype=jnp.float32,
+        collision_params={'shape': 'box', 'size': np.array([0.09, 0.09])},
+    )
+    b = 128
+    state, obs, _ = planning.init_batch(config, params, jax.random.PRNGKey(21), b)
+    limit = 100.0 if learn_jerk else 8.0
+    actions = jax.random.uniform(jax.random.PRNGKey(22), (b, 4), jnp.float32, -limit, limit)
+
+    xs, _, xr, xt, _, xi = planning.batched_step(config, params, state, actions)
+    step = planning.make_fused_step_autoreset(
+        config, params, interpret=True, inject_noise=True, cand_k=2
+    )
+    u = _uniforms(jax.random.PRNGKey(23), step.noise_planes, b)
+    fs, fo, fr, ft, ftr, fi = step(state, actions, noise=u)
+
+    live = ~(np.asarray(xt))
+    np.testing.assert_array_equal(np.asarray(fs.pos)[live], np.asarray(xs.pos)[live])
+    np.testing.assert_array_equal(np.asarray(fs.vel)[live], np.asarray(xs.vel)[live])
+    np.testing.assert_array_equal(np.asarray(fs.acc)[live], np.asarray(xs.acc)[live])
+    np.testing.assert_array_equal(np.asarray(fi['wall_collision']), np.asarray(xi['wall_collision']))
+    np.testing.assert_array_equal(np.asarray(fi['mover_collision']), np.asarray(xi['mover_collision']))
+    np.testing.assert_array_equal(np.asarray(fr), np.asarray(xr))
+
+
+@pytest.mark.slow
+def test_fused_multi_box_pair_collision_fires_like_xla():
+    """Head-on box movers: the in-kernel rotated-rectangle pair test latches
+    the collision at the same step as the XLA path and the kernel resets the
+    episode in place."""
+    config, params = planning.make_planning_env(
+        np.ones((4, 4)), 2, std_noise=0.0, num_cycles=12, dtype=jnp.float32,
+        collision_params={'shape': 'box', 'size': np.array([0.09, 0.09])},
+    )
+    b = 128
+    # 2 mm gap between the 0.09-half boxes: head-on at +-6 m/s^2 they touch
+    # within a couple of 12 ms steps
+    state = _planted_multi_state(config, params, b, np.array([[0.5, 0.5], [0.682, 0.5]]), seed=24)
+    actions = jnp.tile(jnp.asarray([[6.0, 0.0], [-6.0, 0.0]], jnp.float32), (b, 1, 1)).reshape(b, 4)
+    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True, cand_k=2)
+
+    collided = False
+    for t in range(3):
+        xs, _, xr, xt, _, xi = planning.batched_step(config, params, state, actions)
+        u = _uniforms(jax.random.PRNGKey(25 + t), step.noise_planes, b)
+        fs, fo, fr, ft, ftr, fi = step(state, actions, noise=u)
+        live = ~(np.asarray(xt))
+        np.testing.assert_array_equal(np.asarray(fs.pos)[live], np.asarray(xs.pos)[live])
+        np.testing.assert_array_equal(np.asarray(fi['mover_collision']), np.asarray(xi['mover_collision']))
+        np.testing.assert_array_equal(np.asarray(fr), np.asarray(xr))
+        collided = collided or bool(np.asarray(xi['mover_collision']).any())
+        state = xs
+    assert collided, 'head-on box movers never collided'
+
+
 # ---------------------------------------------------------------------------
 # bumpered mesh movers (accel_scale != 1) in-kernel
 # ---------------------------------------------------------------------------
