@@ -73,9 +73,9 @@ def make_batched_parallel_step(config: planning.PlanningConfig, params: planning
 
     fused_ok = (
         jax.default_backend() in ('tpu', 'axon')  # Mosaic kernels are TPU-only
-        and config.collision_shape == 'circle'
         and _np.asarray(params.v_max).dtype == _np.float32
-        # accel_scale (bumpered movers) is baked into the kernels statically
+        # accel_scale (bumpered movers) and box collision shapes are baked
+        # into the kernels statically (round-3: the M-mover kernel covers box)
     )
     fused_step = planning.make_fused_step_autoreset(config, params) if fused_ok else None
 
