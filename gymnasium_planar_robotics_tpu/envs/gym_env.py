@@ -148,8 +148,15 @@ class _JaxGymEnv(gym.Env):
             try:
                 from gymnasium_planar_robotics_tpu.utils.mujoco_viewer import MujocoViewerCollection
 
+                # mesh movers mirror with their real silhouettes
+                _shape = getattr(self, '_mover_shape', 'box')
+                _mesh = getattr(self, '_mesh_cfg', None)
+
                 if self._viewer3d is None:
-                    self._viewer3d = MujocoViewerCollection(self.params, num_movers=self.config.num_movers)
+                    self._viewer3d = MujocoViewerCollection(
+                        self.params, num_movers=self.config.num_movers,
+                        mover_shape=_shape, mesh_cfg=_mesh,
+                    )
                 self._viewer3d.update(self._state)
                 return self._viewer3d.render(self.render_mode)
             except Exception as e:  # no mujoco / no GL backend
@@ -202,6 +209,9 @@ class PlanningGymEnv(_JaxGymEnv):
         layout_tiles = np.ones((3, 3)) if layout_tiles is None else np.asarray(layout_tiles)
         dtype = _default_dtype(dtype)
         self._render_every_cycle_init = render_every_cycle
+        mp = kwargs.get('mover_params') or {}
+        self._mover_shape = mp.get('shape', 'box')
+        self._mesh_cfg = mp.get('mesh')
         config, params = planning_model.make_planning_env(
             layout_tiles=layout_tiles, num_movers=num_movers, dtype=dtype, **kwargs
         )
@@ -281,6 +291,9 @@ class PushingGymEnv(_JaxGymEnv):
     def __init__(self, render_mode: str | None = None, dtype=None,
                  render_every_cycle: bool = False, **kwargs):
         dtype = _default_dtype(dtype)
+        mp = kwargs.get('mover_params') or {}
+        self._mover_shape = mp.get('shape', 'box')
+        self._mesh_cfg = mp.get('mesh')
         config, params = pushing_model.make_pushing_env(dtype=dtype, **kwargs)
         super().__init__(pushing_model, config, params, render_mode,
                          render_every_cycle=render_every_cycle)

@@ -59,6 +59,7 @@ class MujocoViewerCollection:
         height: int = DEFAULT_SIZE,
         default_cam_config: dict[str, Any] | None = None,
         use_mj_passive_viewer: bool = True,
+        mesh_cfg: dict[str, Any] | None = None,
     ):
         from gymnasium_planar_robotics_tpu.utils import scene_export
 
@@ -86,6 +87,7 @@ class MujocoViewerCollection:
             mover_shape=mover_shape,
             object_xy=np.asarray([0.36, 0.36]) if self._pushing else None,
             object_goal_xy=np.asarray([0.36, 0.36]) if self._pushing else None,
+            mesh_cfg=mesh_cfg,
         )
         self.model = mujoco.MjModel.from_xml_string(xml)
         self.data = mujoco.MjData(self.model)

@@ -60,11 +60,16 @@ def export_scene_xml(
     object_xy: np.ndarray | None = None,
     object_goal_xy: np.ndarray | None = None,
     custom_xml_strings: dict[str, str] | None = None,
+    mesh_cfg: dict | None = None,
 ) -> str:
     """Render an env configuration as a MuJoCo MJCF string.
 
     ``params`` is a ``PlanningParams`` or ``PushingParams`` pytree; mover and
-    goal positions default to the tile centers.
+    goal positions default to the tile centers.  ``mover_shape='mesh'`` emits
+    mesh assets + geoms from ``mesh_cfg`` (the ``mover_params['mesh']`` keys:
+    ``mover_stl_path``, ``bumper_stl_path``, ``bumper_mass``, ``scale``) so
+    the 3D mirror shows the real mover silhouettes (reference
+    basic_envs.py:895-929).
     """
     hooks = dict(custom_xml_strings or {})
     unknown = set(hooks) - set(HOOK_KEYS)
@@ -119,6 +124,24 @@ def export_scene_xml(
                     f'fromto="{2 * i * ts[0]} {y} {lz} {2 * (i + 1) * ts[0]} {y} {lz}"/>'
                 )
 
+    mesh_assets = []
+    bumper_line = None
+    if mover_shape == 'mesh':
+        from gymnasium_planar_robotics_tpu.utils import meshes as _meshes
+
+        mc = dict(mesh_cfg or {})
+        scale = ' '.join(str(float(s)) for s in np.broadcast_to(np.asarray(mc.get('scale', 1.0)), (3,)))
+        mover_stl = _meshes.resolve_mesh_path(mc.get('mover_stl_path', 'beckhoff_apm4330_mover'))
+        mesh_assets.append(f'    <mesh name="mover_mesh" file="{mover_stl}" scale="{scale}"/>')
+        bumper_name = mc.get('bumper_stl_path', 'beckhoff_apm4330_bumper')
+        if bumper_name is not None:
+            bumper_stl = _meshes.resolve_mesh_path(bumper_name)
+            mesh_assets.append(f'    <mesh name="bumper_mesh" file="{bumper_stl}" scale="{scale}"/>')
+            bumper_line = (
+                f'<geom name="bumper_geom_K" type="mesh" mesh="bumper_mesh" '
+                f'mass="{float(mc.get("bumper_mass", 0.1))}" material="black"/>'
+            )
+
     movers = []
     for k in range(mover_xy.shape[0]):
         half = mover_half[min(k, mover_half.shape[0] - 1)]
@@ -127,6 +150,10 @@ def export_scene_xml(
         z = zpos + ts[2] + half[2]
         if mover_shape == 'cylinder':
             geom = f'<geom name="mover_geom_{k}" type="cylinder" size="{half[0]} {half[2]}" mass="{mass}" material="{mat}"/>'
+        elif mover_shape == 'mesh':
+            geom = f'<geom name="mover_geom_{k}" type="mesh" mesh="mover_mesh" mass="{mass}" material="{mat}"/>'
+            if bumper_line is not None:
+                geom += '\n        ' + bumper_line.replace('bumper_geom_K', f'bumper_geom_{k}')
         else:
             geom = f'<geom name="mover_geom_{k}" type="box" size="{half[0]} {half[1]} {half[2]}" mass="{mass}" material="{mat}"/>'
         movers.append(
@@ -188,6 +215,7 @@ def export_scene_xml(
         '  </default>',
         '  <asset>',
         _materials_xml(),
+        *mesh_assets,
         hooks.get('custom_assets_xml_str', ''),
         '  </asset>',
         '  <worldbody>',

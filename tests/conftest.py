@@ -21,10 +21,22 @@ flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
 
+# the CPU AOT cache loader logs E-level machine-feature complaints about the
+# 'prefer-no-scatter/gather' pseudo-features on every cache hit (the features
+# match; the serialized form differs) — drop native log noise below FATAL
+os.environ.setdefault('TF_CPP_MIN_LOG_LEVEL', '3')
+
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
+# persistent compile cache: XLA CPU compiles (the non-interpret half of the
+# suite's fixed cost) reload from disk on repeat runs — measured ~45% off a
+# compile-heavy module's wall time.  Pallas interpret-mode launches do not
+# cache (round-2 finding, unchanged) — their cost is bounded instead by the
+# small config matrix + injected-noise value tests.
+jax.config.update('jax_compilation_cache_dir', os.environ.get('JAX_COMPILATION_CACHE_DIR', '/tmp/gprt_jax_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
 # repo root on sys.path so `import gymnasium_planar_robotics_tpu` works uninstalled
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

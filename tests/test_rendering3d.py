@@ -108,3 +108,26 @@ def test_pushing_viewer_object_tracks():
         )
     finally:
         viewer.close()
+
+
+def test_mesh_mover_renders_real_silhouette():
+    """A mesh-mover env's 3D mirror uses the regenerated real-silhouette
+    assets (rounded-corner mover + hollow-frame bumper geoms), not box
+    stand-ins."""
+    mover_params = {'shape': 'mesh', 'mesh': {'bumper_mass': 0.35}}
+    config, params = planning.make_planning_env(
+        np.ones((3, 3)), 1, std_noise=1e-5, dtype=jnp.float32, mover_params=mover_params
+    )
+    state, obs, _ = planning.init_batch(config, params, jax.random.PRNGKey(0), 2)
+    viewer = MujocoViewerCollection(
+        params, num_movers=1, width=128, height=96,
+        mover_shape='mesh', mesh_cfg=mover_params['mesh'],
+    )
+    try:
+        assert viewer.model.geom('mover_geom_0').type[0] == mujoco.mjtGeom.mjGEOM_MESH
+        assert viewer.model.geom('bumper_geom_0') is not None
+        viewer.update(state, env_index=0)
+        img = viewer.render('rgb_array')
+        assert img.shape == (96, 128, 3) and img.any()
+    finally:
+        viewer.close()

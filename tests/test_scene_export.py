@@ -45,6 +45,36 @@ def test_pushing_scene_with_object():
     assert model.opt.timestep == 0.001
 
 
+def test_mesh_mover_scene_compiles_with_real_silhouettes():
+    """mover_shape='mesh' emits mesh assets (regenerated real silhouettes:
+    rounded-corner slab mover + hollow-frame bumper) and compiles; the
+    bumper geom carries its own mass on the body (basic_envs.py:911-925)."""
+    mover_params = {'shape': 'mesh', 'mesh': {'bumper_mass': 0.35}}
+    config, params = planning.make_planning_env(
+        np.ones((3, 3)), num_movers=1, dtype=jnp.float64, mover_params=mover_params
+    )
+    xml = scene_export.export_scene_xml(
+        params, mover_xy=np.array([[0.3, 0.3]]), mover_shape='mesh',
+        mesh_cfg=mover_params['mesh'],
+    )
+    assert '<mesh name="mover_mesh"' in xml and '<mesh name="bumper_mesh"' in xml
+    model = mujoco.MjModel.from_xml_string(xml)
+    assert model.geom('bumper_geom_0') is not None
+    # composed body mass = mover + bumper, like the reference's compiled model
+    np.testing.assert_allclose(float(model.body('mover_0').mass[0]), 1.24 + 0.35, atol=1e-6)
+    # the mesh AABB matches the engine's resolved mover size
+    mid = model.geom('mover_geom_0').dataid[0]
+    v0 = model.mesh_vertadr[mid]
+    v1 = v0 + model.mesh_vertnum[mid]
+    verts = model.mesh_vert[v0:v1]
+    # MuJoCo re-orients mesh assets to principal axes (compensated by the
+    # stored mesh_quat), permuting the raw vertex-buffer AABB — compare sorted
+    np.testing.assert_allclose(
+        np.sort((verts.max(0) - verts.min(0)) / 2),
+        np.sort(np.asarray(params.mover_size[0])), atol=1e-5,
+    )
+
+
 def test_custom_hooks_injected():
     config, params = planning.make_planning_env(np.ones((2, 2)), num_movers=1, dtype=jnp.float64)
     xml = scene_export.export_scene_xml(
