@@ -140,15 +140,27 @@ def make_train_step(
     env_config,
     env_params,
     cfg: PPOConfig,
-    step_autoreset_fn: Callable,
+    step_autoreset_fn: Callable | None = None,
     obs_to_vec: Callable | None = None,
+    batched_step_fn: Callable | None = None,
 ):
     """Build ``train_step(runner_state) -> (runner_state, metrics)``: one
     rollout of ``cfg.rollout_steps`` sharded env steps + PPO updates, all in
     one traceable function (jit it, optionally with shardings, at the call
-    site)."""
+    site).
+
+    Pass EITHER ``step_autoreset_fn`` (a per-env step, vmapped here) or
+    ``batched_step_fn(state, action)`` — an already-batched step such as the
+    fused Pallas kernel or its shard_mapped form
+    (``parallel/sharding.make_sharded_fused_step``), which lets PPO train at
+    the fused rollout rate on any mesh size."""
     optimizer = optax.adam(cfg.learning_rate)
-    batched_env_step = jax.vmap(step_autoreset_fn, in_axes=(None, None, 0, 0))
+    if batched_step_fn is not None:
+        def batched_env_step(_config, _params, state, action):
+            return batched_step_fn(state, action)
+    else:
+        assert step_autoreset_fn is not None, 'pass step_autoreset_fn or batched_step_fn'
+        batched_env_step = jax.vmap(step_autoreset_fn, in_axes=(None, None, 0, 0))
 
     if obs_to_vec is None:
         def obs_to_vec(obs):

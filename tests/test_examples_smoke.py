@@ -43,3 +43,13 @@ def test_collect_trajectories_example(tmp_path, capsys):
     _run_main(_load('collect_trajectories'), ['--out', str(tmp_path / 'traj'), '--batch', '64', '--steps', '4'])
     out = capsys.readouterr().out
     assert 'wrote 4 frames' in out
+
+
+def test_train_sharded_example(capsys):
+    """The sharded-fused PPO example runs end-to-end on a 2-device virtual
+    mesh with interpret-mode kernels (the multi-chip flagship pattern)."""
+    mod = _load('train_sharded')
+    _run_main(mod, ['--batch', '256', '--iters', '2', '--devices', '2',
+                    '--rollout', '2', '--cycles', '3', '--interpret'])
+    out = capsys.readouterr().out
+    assert 'fused shard_map rollout' in out
