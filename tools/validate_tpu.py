@@ -144,6 +144,54 @@ def check_reset_sampling():
            f'{len(starts):,} restarts: all wall-valid, quadrant delta vs oracle max {dq.max():.4f}')
 
 
+def check_sharded_fused():
+    """The shard_mapped fused kernel on hardware (1-device mesh): same rate
+    and same collision/speed statistics as the unsharded fused step (the
+    multi-chip execution path is the single-chip kernel, per device)."""
+    from gymnasium_planar_robotics_tpu.models import planning
+    from gymnasium_planar_robotics_tpu.parallel import sharding
+
+    config, params = planning.make_planning_env(
+        np.ones((3, 3)), 1, std_noise=3e-3, num_cycles=40, dtype=jnp.float32
+    )
+    b, t = 4096, 128
+    mesh = sharding.make_mesh(jax.devices()[:1])
+    variants = {
+        'unsharded': jax.jit(planning.make_fused_step_autoreset(config, params)),
+        'shard_map': jax.jit(
+            sharding.make_sharded_fused_step(planning, config, params, mesh),
+            in_shardings=(sharding.batch_sharding(mesh), sharding.batch_sharding(mesh)),
+        ),
+    }
+    stats = {}
+    for name, step in variants.items():
+        state, _, _ = planning.init_batch(config, params, jax.random.PRNGKey(31), b)
+        if name == 'shard_map':
+            state = sharding.shard_batch(state, mesh)
+        key = jax.random.PRNGKey(32)
+        walls_hit, speeds = [], []
+        state, *_ = step(state, jnp.zeros((b, 2), jnp.float32))  # compile
+        jax.block_until_ready(state.pos)
+        t0 = time.perf_counter()
+        for k in range(t):
+            key, sub = jax.random.split(key)
+            a = jax.random.uniform(sub, (b, 2), jnp.float32, -10.0, 10.0)
+            state, obs, rew, term, trunc, info = step(state, a)
+            if k % 16 == 0:
+                walls_hit.append(np.asarray(info['wall_collision']).mean())
+                speeds.append(np.linalg.norm(np.asarray(state.vel), axis=-1).mean())
+        jax.block_until_ready(state.pos)
+        rate = b * t / (time.perf_counter() - t0)
+        stats[name] = (rate, float(np.mean(walls_hit)), float(np.mean(speeds)))
+    r0, w0, s0 = stats['unsharded']
+    r1, w1, s1 = stats['shard_map']
+    assert r1 > 0.8 * r0, f'shard_map rate {r1:.0f} << unsharded {r0:.0f}'
+    assert abs(w1 - w0) < 0.02 and abs(s1 - s0) / s0 < 0.05
+    record('sharded-fused-hw',
+           f'1-device mesh shard_map vs unsharded: {r1/1e6:.1f}M vs {r0/1e6:.1f}M env-steps/s '
+           f'(per-call loop), wall rate {w1:.4f} vs {w0:.4f}, speed {s1:.3f} vs {s0:.3f}')
+
+
 def main():
     t0 = time.time()
     backend = jax.default_backend()
@@ -152,6 +200,7 @@ def main():
     check_box_muller()
     check_collision_rates()
     check_reset_sampling()
+    check_sharded_fused()
     dt = time.time() - t0
     print(f'ALL TPU VALIDATIONS PASSED in {dt:.0f}s on {dev}')
     if '--write-md' in sys.argv:
