@@ -346,7 +346,7 @@ def _step_core(config: PushingConfig, params: PushingParams, state: PushingState
     pose_noise = jax.random.normal(k_wall, (c, _pose_noise_dims(config)), dtype) * params.std_noise[0]
 
     def cycle(carry, noise):
-        pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, wall, done = carry
+        pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, c_axis, wall, done = carry
         nv, npose = noise
         vel_meas = vel + nv
 
@@ -369,6 +369,7 @@ def _step_core(config: PushingConfig, params: PushingParams, state: PushingState
             pos, vel, obj_pos, obj_vel, obj_yaw, obj_w,
             params.mover_half, params.object_half,
             params.contact_k, params.contact_b, params.contact_bt, params.contact_mu,
+            sticky_axis=c_axis,
         )
         # body qacc: gain-mass-scaled command + contact reaction over the
         # TOTAL body mass (mover + bumper); accel_scale == 1 multiplies
@@ -409,16 +410,17 @@ def _step_core(config: PushingConfig, params: PushingParams, state: PushingState
         obj_vel = jnp.where(done, obj_vel, v_obj)
         obj_yaw = jnp.where(done, obj_yaw, new_obj_yaw)
         obj_w = jnp.where(done, obj_w, w_obj)
+        c_axis = jnp.where(done, c_axis, forces.axis)
         wall = jnp.where(done, wall, new_wall)
         done = done | wall
         # per-cycle poses + done for render_every_cycle (basic_envs.py:
         # 1884-1905 renders the colliding cycle's frame, then breaks);
         # dead-code-eliminated when the caller discards them
-        return (pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, wall, done), (pos, vel, obj_pos, obj_yaw, done)
+        return (pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, c_axis, wall, done), (pos, vel, obj_pos, obj_yaw, done)
 
     init = (state.pos, state.vel, state.acc, state.act, state.obj_pos, state.obj_vel,
-            state.obj_yaw, state.obj_w, jnp.asarray(False), jnp.asarray(False))
-    (pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, wall, _), cyc = jax.lax.scan(
+            state.obj_yaw, state.obj_w, jnp.asarray(-1.0, dtype), jnp.asarray(False), jnp.asarray(False))
+    (pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, _, wall, _), cyc = jax.lax.scan(
         cycle, init, (vel_noise, pose_noise)
     )
 

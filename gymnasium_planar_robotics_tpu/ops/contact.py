@@ -100,6 +100,7 @@ class ContactForcesV2(NamedTuple):
     in_contact: jnp.ndarray
     f_n_mag: jnp.ndarray = 0.0  # [...] normal-force magnitude
     f_imp: jnp.ndarray = 0.0  # [...] impact (damping) part of the normal force (drives the plow load)
+    axis: jnp.ndarray = -1.0  # [...] chosen normal axis: 0=x, 1=y, -1=no contact (feeds hysteresis)
 
 
 def box_push_contact_v2(
@@ -115,6 +116,7 @@ def box_push_contact_v2(
     b_n: jnp.ndarray,
     b_t: jnp.ndarray,
     mu: jnp.ndarray,
+    sticky_axis: jnp.ndarray | None = None,
 ) -> ContactForcesV2:
     """Corner-aware planar box-box penalty contact with object yaw.
 
@@ -163,14 +165,23 @@ def box_push_contact_v2(
     sy = jnp.where(d[..., 1] == 0, 1.0, jnp.sign(d[..., 1]))
     # minimum-translation FACE normal, ties to x — matching the MuJoCo
     # box-box collider, which keeps a face normal even at corner-corner
-    # overlap (measured: a symmetric diagonal push resolves along +x first);
-    # the lateral motion at corners comes from the sticky tangential
-    # friction below, not from a tilted normal
+    # overlap (measured: a symmetric diagonal push resolves along +x first).
+    # The normal is HYSTERETIC: MuJoCo's persistent contact keeps the SAME
+    # face for the whole push (measured: a sustained diagonal push reports a
+    # pure +x normal for 26 env steps while the overlaps alternate), so a
+    # caller-carried ``sticky_axis`` (0=x, 1=y, -1=none) overrides the
+    # min-translation pick while that axis still overlaps — without it the
+    # alternating normal plows corner pushes diagonally instead of letting
+    # the object slide off the face.
     axis_x = olx_c <= oly_c
+    if sticky_axis is not None:
+        keep_x = (sticky_axis == 0.0) & (olx > 0)
+        keep_y = (sticky_axis == 1.0) & (oly > 0)
+        axis_x = jnp.where(keep_x, True, jnp.where(keep_y, False, axis_x))
     n = jnp.stack(
         [jnp.where(axis_x, sx, 0.0), jnp.where(axis_x, 0.0, sy)], axis=-1
     )
-    pen = jnp.minimum(olx_c, oly_c)
+    pen = jnp.where(axis_x, olx_c, oly_c)
 
     # contact point = center of the overlap rectangle (world frame)
     lo_x = jnp.maximum(mover_xy[..., 0] - mover_half[0], obj_xy[..., 0] - rx)
@@ -209,6 +220,7 @@ def box_push_contact_v2(
         in_contact=in_contact,
         f_n_mag=f_n_mag * cmask,
         f_imp=jnp.minimum(jnp.maximum(0.0, -b_n * vn), f_n_mag) * cmask,
+        axis=jnp.where(in_contact, jnp.where(axis_x, 0.0, 1.0), -1.0),
     )
 
 
