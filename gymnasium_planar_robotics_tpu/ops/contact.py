@@ -177,7 +177,7 @@ def box_push_contact_v2(
     if sticky_axis is not None:
         keep_x = (sticky_axis == 0.0) & (olx > 0)
         keep_y = (sticky_axis == 1.0) & (oly > 0)
-        axis_x = jnp.where(keep_x, True, jnp.where(keep_y, False, axis_x))
+        axis_x = keep_x | (axis_x & ~keep_y)  # keep_x/keep_y are exclusive
     n = jnp.stack(
         [jnp.where(axis_x, sx, 0.0), jnp.where(axis_x, 0.0, sy)], axis=-1
     )
