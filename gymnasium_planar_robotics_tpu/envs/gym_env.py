@@ -50,7 +50,8 @@ class _JaxGymEnv(gym.Env):
     metadata = {'render_modes': ['human', 'rgb_array', 'depth_array', 'human_2d', 'rgb_array_2d'], 'render_fps': 25}
 
     def __init__(self, model, config, params, render_mode: str | None = None,
-                 render_every_cycle: bool = False):
+                 render_every_cycle: bool = False, show_2D_plot: bool = False,
+                 mover_colors_2D_plot=None, use_mj_passive_viewer: bool = False):
         self._model = model
         self.config = config
         self.params = params
@@ -58,6 +59,15 @@ class _JaxGymEnv(gym.Env):
         #: render after every 1 ms control cycle inside step(), not just at
         #: step boundaries (reference basic_envs.py:1708,1884-1885)
         self.render_every_cycle = bool(render_every_cycle)
+        #: live top-down matplotlib debug plot updated every reset/step,
+        #: independent of render_mode (reference show_2D_plot /
+        #: Matplotlib2DViewer, benchmark_planning_env.py:277-291)
+        self._show_2d = bool(show_2D_plot)
+        self._mover_colors_2d = list(mover_colors_2D_plot) if mover_colors_2D_plot else None
+        #: 'human' 3D backend = mujoco.viewer.launch_passive (reference
+        #: rendering.py:246-252)
+        self._use_passive = bool(use_mj_passive_viewer)
+        self._viewer2d_live = None
         self._state = None
         self._viewer = None
         self._viewer3d = None
@@ -79,6 +89,7 @@ class _JaxGymEnv(gym.Env):
         self._state, obs, info = self._reset_core(sub, options or {})
         if self.render_mode is not None:
             self.render()
+        self._render_2d_live()
         return self._np_obs(obs), self._np_info(info)
 
     def step(self, action):
@@ -109,6 +120,7 @@ class _JaxGymEnv(gym.Env):
             raise ValueError(f'the reward has to be a float or an array of shape (1,), got shape {r.shape}')
         if self.render_mode is not None:
             self.render()
+        self._render_2d_live()
         return (
             self._np_obs(obs),
             float(r.reshape(-1)[0]) if r.shape else float(r),
@@ -116,6 +128,20 @@ class _JaxGymEnv(gym.Env):
             bool(truncated),
             self._np_info(info),
         )
+
+    def _render_2d_live(self):
+        """Update the live show_2D_plot window (reference Matplotlib2DViewer
+        semantics: a debug plot that updates every step regardless of
+        render_mode)."""
+        if not self._show_2d:
+            return
+        from gymnasium_planar_robotics_tpu.utils import rendering
+
+        if self._viewer2d_live is None:
+            self._viewer2d_live = rendering.Planar2DViewer(
+                self.params, interactive=True, mover_colors=self._mover_colors_2d
+            )
+        self._viewer2d_live.render(self._render_state())
 
     def _render_cycles(self, cyc):
         """Replay the per-cycle poses through the active viewer: each frame
@@ -156,6 +182,7 @@ class _JaxGymEnv(gym.Env):
                     self._viewer3d = MujocoViewerCollection(
                         self.params, num_movers=self.config.num_movers,
                         mover_shape=_shape, mesh_cfg=_mesh,
+                        use_mj_passive_viewer=self._use_passive,
                     )
                 self._viewer3d.update(self._state)
                 return self._viewer3d.render(self.render_mode)
@@ -175,6 +202,9 @@ class _JaxGymEnv(gym.Env):
         if self._viewer is not None:
             self._viewer.close()
             self._viewer = None
+        if self._viewer2d_live is not None:
+            self._viewer2d_live.close()
+            self._viewer2d_live = None
         if self._viewer3d:
             self._viewer3d.close()
         self._viewer3d = None
@@ -204,6 +234,9 @@ class PlanningGymEnv(_JaxGymEnv):
         render_mode: str | None = None,
         dtype=None,
         render_every_cycle: bool = False,
+        show_2D_plot: bool = False,
+        mover_colors_2D_plot=None,
+        use_mj_passive_viewer: bool = False,
         **kwargs,
     ):
         layout_tiles = np.ones((3, 3)) if layout_tiles is None else np.asarray(layout_tiles)
@@ -216,7 +249,10 @@ class PlanningGymEnv(_JaxGymEnv):
             layout_tiles=layout_tiles, num_movers=num_movers, dtype=dtype, **kwargs
         )
         super().__init__(planning_model, config, params, render_mode,
-                         render_every_cycle=self._render_every_cycle_init)
+                         render_every_cycle=self._render_every_cycle_init,
+                         show_2D_plot=show_2D_plot,
+                         mover_colors_2D_plot=mover_colors_2D_plot,
+                         use_mj_passive_viewer=use_mj_passive_viewer)
 
         m = config.num_movers
         hi = np.asarray(params.grid.workspace_max_xy)
@@ -289,14 +325,16 @@ class PushingGymEnv(_JaxGymEnv):
     """``BenchmarkPushingEnv-v0``: push the box object to its goal."""
 
     def __init__(self, render_mode: str | None = None, dtype=None,
-                 render_every_cycle: bool = False, **kwargs):
+                 render_every_cycle: bool = False,
+                 use_mj_passive_viewer: bool = False, **kwargs):
         dtype = _default_dtype(dtype)
         mp = kwargs.get('mover_params') or {}
         self._mover_shape = mp.get('shape', 'box')
         self._mesh_cfg = mp.get('mesh')
         config, params = pushing_model.make_pushing_env(dtype=dtype, **kwargs)
         super().__init__(pushing_model, config, params, render_mode,
-                         render_every_cycle=render_every_cycle)
+                         render_every_cycle=render_every_cycle,
+                         use_mj_passive_viewer=use_mj_passive_viewer)
 
         hi = np.asarray(params.grid.workspace_max_xy)
         jerk_dims = (2 + int(config.learn_jerk)) * 2

@@ -211,6 +211,29 @@ def test_render_every_cycle():
     env2.close()
 
 
+def test_reference_constructor_kwargs_accepted():
+    """A migrating user's reference constructor kwargs work: show_2D_plot
+    opens the live top-down debug plot (updated every reset/step regardless
+    of render_mode — reference Matplotlib2DViewer semantics),
+    mover_colors_2D_plot styles it, use_mj_passive_viewer selects the 3D
+    human backend (benchmark_planning_env.py:165-185)."""
+    env = gym.make(
+        'BenchmarkPlanningEnv-v0', num_movers=1, show_2D_plot=True,
+        mover_colors_2D_plot=['red'], use_mj_passive_viewer=False,
+    ).unwrapped
+    env.reset(seed=0)
+    env.step(np.zeros(2))
+    assert env._viewer2d_live is not None, 'show_2D_plot did not open the live plot'
+    assert env._viewer2d_live._mover_colors == ['red']
+    env.close()
+    assert env._viewer2d_live is None
+
+    env2 = gym.make('BenchmarkPushingEnv-v0', use_mj_passive_viewer=False).unwrapped
+    env2.reset(seed=0)
+    env2.step(np.zeros(2))
+    env2.close()
+
+
 def test_render_every_cycle_stops_at_collision():
     """Once the in-step collision latch fires, the per-cycle replay renders
     the colliding cycle's frame and stops — the reference renders then breaks
