@@ -37,6 +37,9 @@ def __getattr__(name):
         'ImpedanceGains': ('gymnasium_planar_robotics_tpu.utils.impedance', 'ImpedanceGains'),
         'impedance_wrench': ('gymnasium_planar_robotics_tpu.utils.impedance', 'impedance_wrench'),
         'make_gains': ('gymnasium_planar_robotics_tpu.utils.impedance', 'make_gains'),
+        # reference-name aliases so migrating imports keep working verbatim
+        'Matplotlib2DViewer': ('gymnasium_planar_robotics_tpu.utils.rendering', 'Planar2DViewer'),
+        'BasicPlanarRoboticsEnv': ('gymnasium_planar_robotics_tpu.core', 'PlanarRoboticsCore'),
     }
     if name in surface:
         import importlib
