@@ -121,6 +121,22 @@ class _JaxVectorEnv(gym.vector.VectorEnv):
     def device_state(self):
         return self._state
 
+    def render(self):
+        """Top-down rgb frame of env 0 — a debugging window into the batch
+        (the reference has no vector envs at all, so there is no parity
+        semantics to match; this mirrors the single-env 2D view)."""
+        assert self._state is not None, 'call reset() first'
+        from gymnasium_planar_robotics_tpu.utils import rendering
+
+        if getattr(self, '_viewer2d', None) is None:
+            self._viewer2d = rendering.Planar2DViewer(self.params)
+        return self._viewer2d.render(self._render_state0())
+
+    def close_extras(self, **kwargs):
+        if getattr(self, '_viewer2d', None) is not None:
+            self._viewer2d.close()
+            self._viewer2d = None
+
 
 class PlanningVectorEnv(_JaxVectorEnv):
     def __init__(self, num_envs: int, layout_tiles=None, num_movers: int = 1, mesh=None, dtype=None, **kwargs):
@@ -148,6 +164,14 @@ class PlanningVectorEnv(_JaxVectorEnv):
         self.observation_space = gym.vector.utils.batch_space(self.single_observation_space, num_envs)
         self.action_space = gym.vector.utils.batch_space(self.single_action_space, num_envs)
 
+    def _render_state0(self):
+        s = self._state
+        return {
+            'mover_xy': np.asarray(s.pos)[0],
+            'mover_vel': np.asarray(s.vel)[0],
+            'goals': np.asarray(s.goals)[0],
+        }
+
 
 class PushingVectorEnv(_JaxVectorEnv):
     def __init__(self, num_envs: int, mesh=None, dtype=None, **kwargs):
@@ -170,3 +194,13 @@ class PushingVectorEnv(_JaxVectorEnv):
         self.single_action_space = gym.spaces.Box(-limit, limit, shape=(2,), dtype=np.float64)
         self.observation_space = gym.vector.utils.batch_space(self.single_observation_space, num_envs)
         self.action_space = gym.vector.utils.batch_space(self.single_action_space, num_envs)
+
+    def _render_state0(self):
+        s = self._state
+        return {
+            'mover_xy': np.asarray(s.pos)[0][None],
+            'mover_vel': np.asarray(s.vel)[0][None],
+            'goals': np.asarray(s.goal)[0][None],
+            'object_xy': np.asarray(s.obj_pos)[0],
+            'object_half': np.asarray(self.params.object_half),
+        }

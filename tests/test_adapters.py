@@ -323,3 +323,21 @@ def test_vector_env_fused_dispatch_sharded(monkeypatch):
         num_envs=128, num_movers=1, num_cycles=4, dtype=jnp.float32, mesh=mesh
     )
     assert not venv2.using_fused
+
+
+def test_vector_env_render_env0():
+    """VectorEnv.render() returns a top-down rgb frame of env 0 instead of
+    gymnasium's default NotImplementedError (batch debugging window)."""
+    import jax.numpy as jnp
+
+    from gymnasium_planar_robotics_tpu.envs.vector_env import PlanningVectorEnv, PushingVectorEnv
+
+    v = PlanningVectorEnv(num_envs=4, num_movers=2, dtype=jnp.float32)
+    v.reset(seed=0)
+    frame = v.render()
+    assert frame.ndim == 3 and frame.shape[2] == 3 and frame.any()
+    v.close()
+    p = PushingVectorEnv(num_envs=4, dtype=jnp.float32)
+    p.reset(seed=0)
+    assert p.render().ndim == 3
+    p.close()
