@@ -56,6 +56,28 @@ class PlanarRoboticsCore:
         """Tile-center coordinate grids (basic_envs.py:1292-1310)."""
         return np.asarray(self.grid.tile_x), np.asarray(self.grid.tile_y)
 
+    def get_tile_indices_mask(self, mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Indices of layout windows matching a 0/1 structure pattern
+        (basic_envs.py:1312-1340; same anchor convention: the returned index
+        is the window's center cell, biased low for even mask sizes).
+
+        Vectorized as one windowed comparison instead of the reference's
+        Python double loop."""
+        mask = np.asarray(mask)
+        assert mask.ndim == 2, 'Unexpected shape of the mask array.'
+        assert np.bitwise_or(mask == 0, mask == 1).all(), 'Use a numpy array of only 0 and 1 to specify the mask.'
+        mx, my = mask.shape
+        lay = self.layout_tiles
+        if lay.shape[0] < mx or lay.shape[1] < my:
+            return np.array([], dtype=int), np.array([], dtype=int)
+        windows = np.lib.stride_tricks.sliding_window_view(lay, (mx, my))
+        hits = (windows == mask).all(axis=(2, 3))
+        wx, wy = np.nonzero(hits)
+        # reference anchor: window start + ceil(m/2) for odd, m/2 - 1 for even
+        ax = (mx // 2) if mx % 2 == 1 else (mx // 2 - 1)
+        ay = (my // 2) if my % 2 == 1 else (my // 2 - 1)
+        return wx + ax, wy + ay
+
     def get_c_size_arr(self, c_size, num_reps: int) -> np.ndarray:
         """Normalize a collision size to per-mover rows (basic_envs.py:1209-1242)."""
         return np.asarray(common.expand_c_size(c_size, num_reps, self.c_shape, self._dtype))

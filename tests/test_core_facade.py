@@ -57,3 +57,47 @@ def test_mesh_mover_shape_resolves_size():
     )
     expect = np.asarray(meshes.PREDEFINED_MESH_DIMS['beckhoff_apm4220_mover']) / 2
     np.testing.assert_allclose(np.asarray(params.mover_size)[0], expect, atol=1e-6)
+
+
+@pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
+def test_get_tile_indices_mask_matches_reference():
+    """The windowed pattern search equals the reference's double-loop
+    implementation (basic_envs.py:1312-1340) over random layouts and every
+    mask shape its wall-collision machinery uses (3x3 + the four 2x2
+    corner patterns), plus odd/even rectangular masks."""
+    import_reference()
+    import numpy as _np
+
+    from gymnasium_planar_robotics.envs.basic_envs import BasicPlanarRoboticsEnv
+
+    from gymnasium_planar_robotics_tpu.core import PlanarRoboticsCore
+
+    rng = _np.random.default_rng(5)
+    masks = [
+        _np.ones((3, 3)),
+        _np.array([[1, 1], [1, 0]]), _np.array([[1, 1], [0, 1]]),
+        _np.array([[1, 0], [1, 1]]), _np.array([[0, 1], [1, 1]]),
+        _np.ones((1, 2)), _np.array([[1, 0, 1]]), _np.ones((2, 3)),
+    ]
+    for trial in range(4):
+        layout = (rng.random((rng.integers(3, 6), rng.integers(3, 6))) > 0.3).astype(_np.int8)
+        layout[0, 0] = 1  # keep at least one tile
+        ref = BasicPlanarRoboticsEnv(layout_tiles=layout, num_movers=1, render_mode=None,
+                                     initial_mover_start_xy_pos=_np.asarray(ref_start(layout)))
+        mine = PlanarRoboticsCore(layout)
+        for mask in masks:
+            rx, ry = ref.get_tile_indices_mask(mask.astype(layout.dtype))
+            mx, my = mine.get_tile_indices_mask(mask)
+            # both return x-major order; compare the index PAIRS exactly
+            _np.testing.assert_array_equal(
+                _np.stack([rx, ry], -1).reshape(-1, 2),
+                _np.stack([mx, my], -1).reshape(-1, 2), err_msg=f'{mask.shape}')
+
+
+def ref_start(layout):
+    """A start position above some existing tile (reference reset sampling
+    needs a valid initial pose for model construction)."""
+    import numpy as _np
+
+    i, j = _np.argwhere(layout)[0]
+    return [[(2 * i + 1) * 0.12, (2 * j + 1) * 0.12]]
