@@ -75,7 +75,7 @@ def _throughput(config, params, step_autoreset_fn, init_batch_fn, action_dim, ba
     return _best_rate(run_block, batch * ROLLOUT_T * TIMED_CALLS)
 
 
-def bench_pushing(batch=BATCH, fused=True, **env_kwargs):
+def bench_pushing(batch=BATCH, fused=True, n_mesh_devices=None, **env_kwargs):
     from gymnasium_planar_robotics_tpu.models import pushing
 
     config, params = pushing.make_pushing_env(std_noise=1e-5, dtype=jnp.float32, **env_kwargs)
@@ -83,7 +83,14 @@ def bench_pushing(batch=BATCH, fused=True, **env_kwargs):
         return _throughput(config, params, pushing.step_autoreset, pushing.init_batch, 2, batch)
 
     state, obs, _ = jax.block_until_ready(pushing.init_batch(config, params, jax.random.PRNGKey(0), batch))
-    step = pushing.make_fused_step_autoreset(config, params)
+    if n_mesh_devices is None:
+        step = pushing.make_fused_step_autoreset(config, params)
+    else:
+        from gymnasium_planar_robotics_tpu.parallel import sharding
+
+        mesh = sharding.make_mesh(jax.devices()[:n_mesh_devices])
+        step = sharding.make_sharded_fused_step(pushing, config, params, mesh)
+        state = sharding.shard_batch(state, mesh)
 
     @jax.jit
     def roll(state, key):
@@ -325,6 +332,8 @@ def main() -> None:
     if '--suite' in sys.argv:
         rows = [
             ('pushing 4096 envs', bench_pushing(4096), REF_PUSHING),
+            ('pushing 4096 envs (fused, shard_map 1-device mesh)',
+             bench_pushing(4096, n_mesh_devices=1), REF_PUSHING),
             ('pushing mesh+bumper 4096 envs (pallas fused)',
              bench_pushing(4096, mover_params={'shape': 'mesh', 'mesh': {'bumper_mass': 0.35}}), REF_PUSHING),
             ('planning 1-mover 4096 envs', bench_planning(4096, 1), REF_PLANNING_1),
