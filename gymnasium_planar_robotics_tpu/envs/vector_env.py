@@ -50,11 +50,11 @@ class _JaxVectorEnv(gym.vector.VectorEnv):
         fused = None
         on_tpu = jax.default_backend() in ('tpu', 'axon')
         per_device = num_envs // mesh.size if mesh is not None else num_envs
+        del per_device  # kernels lane-pad internally; any per-device batch works
         fused_ok = (
             on_tpu
             and hasattr(model, 'make_fused_step_autoreset')
             and (mesh is None or num_envs % mesh.size == 0)
-            and per_device % 128 == 0
         )
         if fused_ok:
             try:

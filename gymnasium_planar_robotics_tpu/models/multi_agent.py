@@ -82,7 +82,7 @@ def make_batched_parallel_step(config: planning.PlanningConfig, params: planning
     def step(state, actions):
         b = actions.shape[0]
         flat = actions.reshape(b, config.num_movers * 2)
-        if fused_step is not None and b % 128 == 0:
+        if fused_step is not None:  # any b: kernels lane-pad internally
             state, obs, reward, terminated, truncated, info = fused_step(state, flat)
         else:
             state, obs, reward, terminated, truncated, info = planning.batched_step_autoreset(

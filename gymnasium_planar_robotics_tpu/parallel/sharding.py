@@ -87,8 +87,9 @@ def make_sharded_fused_step(
     each device consumes exactly its lanes' planes — sharded output is
     bit-identical to the unsharded fused kernel (tests/test_sharding.py).
 
-    Constraints: per-device batch must be a multiple of 128 (the kernel lane
-    width) — i.e. ``B % (128 * mesh.size) == 0``.
+    Constraints: ``B % mesh.size == 0`` (equal shards). Per-device batches
+    that aren't a multiple of 128 lane-pad inside the kernel wrappers
+    (``ops/pallas_step._pad_lanes``) — any shard size keeps the fused path.
 
     Returns ``step(state, action[, noise]) -> (state, obs, reward, terminated,
     truncated, info)`` with a ``.noise_planes`` attribute; jit it with the

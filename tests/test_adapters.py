@@ -284,9 +284,14 @@ def test_vector_env_fused_dispatch_wiring(monkeypatch):
     assert np.isfinite(rew).all()
     assert 'reset_stalled' in info
 
-    # non-multiple-of-128 batches fall back, observably
+    # non-multiple-of-128 batches STAY fused via internal lane padding
+    # (round-3 VERDICT #3: no more 4x cliff at e.g. num_envs=1000)
     venv2 = vector_env.PlanningVectorEnv(num_envs=64, num_movers=1, num_cycles=6, dtype=jnp.float32)
-    assert not venv2.using_fused
+    assert venv2.using_fused
+    obs2, _ = venv2.reset(seed=0)
+    obs2, rew2, term2, trunc2, info2 = venv2.step(np.zeros((64, 2), np.float32))
+    assert obs2['observation'].shape[0] == 64 and rew2.shape == (64,)
+    assert np.isfinite(rew2).all()
 
 
 def test_vector_env_fused_dispatch_sharded(monkeypatch):
@@ -318,11 +323,15 @@ def test_vector_env_fused_dispatch_sharded(monkeypatch):
     assert np.isfinite(rew).all()
     assert len(venv.device_state.pos.sharding.device_set) == 2
 
-    # per-device shard of 64 is not a lane multiple -> XLA path, observably
+    # per-device shard of 64 is not a lane multiple -> STILL fused (each
+    # device lane-pads its own shard inside the kernel wrapper)
     venv2 = vector_env.PlanningVectorEnv(
         num_envs=128, num_movers=1, num_cycles=4, dtype=jnp.float32, mesh=mesh
     )
-    assert not venv2.using_fused
+    assert venv2.using_fused
+    obs2, _ = venv2.reset(seed=0)
+    obs2, rew2, *_ = venv2.step(np.zeros((128, 2), np.float32))
+    assert np.isfinite(rew2).all() and rew2.shape == (128,)
 
 
 def test_vector_env_render_env0():

@@ -211,6 +211,87 @@ def test_fused_box_autoreset_restarts_box_valid():
 
 
 # ---------------------------------------------------------------------------
+# lane padding (batches that aren't a multiple of 128) + row blocking
+# ---------------------------------------------------------------------------
+
+
+def test_block_rows_non_divisor_pads_rows():
+    """rows=10 with block_rows=8 (the round-3 crash: B=1280 in the M-mover
+    kernel) must pad rows to 16 (Mosaic needs sublane-aligned blocks that
+    divide the array) and slice back, leaving real rows untouched."""
+
+    def kern(seed_ref, x_ref, o_ref):
+        o_ref[...] = x_ref[...] * 2.0
+
+    x = jnp.arange(10 * 128, dtype=jnp.float32).reshape(10, 128)
+    (out,) = pallas_step._pallas_planes(kern, [x], 1, True, 0, block_rows=8)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x) * 2)
+
+
+@pytest.mark.parametrize('b', [200, 1000])
+def test_lane_padding_bitmatches_padded_size_run(b):
+    """A batch that is NOT a multiple of 128 runs the fused autoreset kernel
+    via internal lane padding, and its real lanes bit-match a genuine run at
+    the padded size whose tail lanes replicate env 0 (the wrapper's pad rule).
+    This is the round-3 VERDICT #3 'remove the 128 cliff' contract."""
+    import dataclasses
+
+    config, params = _mk(std=1e-5, num_cycles=8)
+    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True, cand_k=2)
+    bp = -(-b // 128) * 128  # next multiple of 128
+    state_p = _random_states(config, params, bp, seed=61)
+    state = jax.tree_util.tree_map(lambda x: x[:b], state_p)
+    # genuine padded-size state: tail lanes replicate env 0 (the pad rule)
+    state_p = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x[:b], jnp.broadcast_to(x[:1], (bp - b,) + x.shape[1:])]), state_p
+    )
+    actions = jax.random.uniform(jax.random.PRNGKey(62), (bp, 2), jnp.float32, -8.0, 8.0)
+    actions_p = jnp.concatenate([actions[:b], jnp.broadcast_to(actions[:1], (bp - b, 2))])
+    u = _uniforms(jax.random.PRNGKey(63), step.noise_planes, b)
+    u_p = jnp.concatenate([u, jnp.broadcast_to(u[:, :1], (step.noise_planes, bp - b))], axis=1)
+
+    s, o, r, te, tr, info = step(state, actions[:b], noise=u)
+    sp, op, rp, tep, trp, infop = step(state_p, actions_p, noise=u_p)
+
+    assert s.pos.shape[0] == b and r.shape[0] == b
+    np.testing.assert_array_equal(np.asarray(s.pos), np.asarray(sp.pos)[:b])
+    np.testing.assert_array_equal(np.asarray(s.vel), np.asarray(sp.vel)[:b])
+    np.testing.assert_array_equal(np.asarray(s.steps), np.asarray(sp.steps)[:b])
+    np.testing.assert_array_equal(np.asarray(r), np.asarray(rp)[:b])
+    np.testing.assert_array_equal(np.asarray(te), np.asarray(tep)[:b])
+    np.testing.assert_array_equal(
+        np.asarray(o['observation']), np.asarray(op['observation'])[:b]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(info['wall_collision']), np.asarray(infop['wall_collision'])[:b]
+    )
+
+
+@pytest.mark.slow
+def test_lane_padding_multi_mover_matches_xla():
+    """M=2 at b=72 (needs padding) through the row-blocked M-mover kernel:
+    live lanes still bit-match the XLA step at std=0."""
+    config, params = planning.make_planning_env(
+        np.ones((4, 4)), 2, std_noise=0.0, num_cycles=10, dtype=jnp.float32
+    )
+    b = 72
+    state, obs, _ = planning.init_batch(config, params, jax.random.PRNGKey(64), b)
+    actions = jax.random.uniform(jax.random.PRNGKey(65), (b, 4), jnp.float32, -8.0, 8.0)
+
+    xs, _, xr, xt, _, xi = planning.batched_step(config, params, state, actions)
+    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True, cand_k=2)
+    u = _uniforms(jax.random.PRNGKey(66), step.noise_planes, b)
+    fs, fo, fr, ft, ftr, fi = step(state, actions, noise=u)
+
+    live = ~np.asarray(xt)
+    np.testing.assert_array_equal(np.asarray(fs.pos)[live], np.asarray(xs.pos)[live])
+    np.testing.assert_array_equal(np.asarray(fs.vel)[live], np.asarray(xs.vel)[live])
+    np.testing.assert_array_equal(np.asarray(fr), np.asarray(xr))
+    np.testing.assert_array_equal(np.asarray(fi['wall_collision']), np.asarray(xi['wall_collision']))
+    np.testing.assert_array_equal(np.asarray(fi['mover_collision']), np.asarray(xi['mover_collision']))
+
+
+# ---------------------------------------------------------------------------
 # noise machinery (injected-noise mode)
 # ---------------------------------------------------------------------------
 
