@@ -71,6 +71,9 @@ class _JaxGymEnv(gym.Env):
         self._state = None
         self._viewer = None
         self._viewer3d = None
+        # dedicated sensor-noise stream for the name-keyed accessors, reseeded
+        # with the env on reset (reference basic_envs.py:182,1789-1791)
+        self._rng_noise = np.random.default_rng()
         self._step_jit = jax.jit(lambda s, a: model.step(config, params, s, a))
         self._step_cycles_jit = jax.jit(lambda s, a: model.step_with_cycles(config, params, s, a))
         # plain (no-override) resets go through jit; option-overridden resets
@@ -86,6 +89,7 @@ class _JaxGymEnv(gym.Env):
         elif getattr(self, '_key', None) is None:
             self._key = jax.random.PRNGKey(int(self.np_random.integers(2**31)))
         self._key, sub = jax.random.split(self._key)
+        self._rng_noise = np.random.default_rng(seed)
         self._state, obs, info = self._reset_core(sub, options or {})
         if self.render_mode is not None:
             self.render()
@@ -128,6 +132,44 @@ class _JaxGymEnv(gym.Env):
             bool(truncated),
             self._np_info(info),
         )
+
+    # -- name-keyed state accessors (reference basic_envs.py:801-855) -------
+
+    @property
+    def mover_names(self) -> list[str]:
+        """Body names of the movers, ``mover_{k}`` — identical to the names in
+        the exported scene / 3D mirror model (reference basic_envs.py:286,878)."""
+        return [f'mover_{i}' for i in range(getattr(self.config, 'num_movers', 1))]
+
+    def _mover_plane(self, attr: str, mover_name: str) -> np.ndarray:
+        assert self._state is not None, 'call reset() first'
+        idx = self.mover_names.index(mover_name)
+        return np.asarray(getattr(self._state, attr), np.float64).reshape(-1, 2)[idx]
+
+    def get_mover_qpos(self, mover_name: str, add_noise: bool = False) -> np.ndarray:
+        """(x, y, z, quat wxyz) of the named mover.  As in the reference, z is
+        the distance between the mover's bottom and the tile top (here exactly
+        ``initial_mover_zpos`` — the analytic hold replaces the impedance z
+        loop); noise draws are consumed either way with the reference's
+        scale-by-gate trick (basic_envs.py:801-829)."""
+        xy = self._mover_plane('pos', mover_name)
+        qpos = np.array([xy[0], xy[1], float(np.asarray(self.params.initial_zpos)), 1.0, 0.0, 0.0, 0.0])
+        std = float(np.asarray(self.params.std_noise).reshape(-1)[0])
+        return qpos + self._rng_noise.normal(loc=0.0, scale=std * int(add_noise), size=qpos.shape[0])
+
+    def get_mover_qvel(self, mover_name: str, add_noise: bool = False) -> np.ndarray:
+        """(vx, vy, vz, wx, wy, wz) of the named mover (basic_envs.py:831-843)."""
+        xy = self._mover_plane('vel', mover_name)
+        qvel = np.array([xy[0], xy[1], 0.0, 0.0, 0.0, 0.0])
+        std = float(np.asarray(self.params.std_noise).reshape(-1)[1])
+        return qvel + self._rng_noise.normal(loc=0.0, scale=std * int(add_noise), size=qvel.shape[0])
+
+    def get_mover_qacc(self, mover_name: str, add_noise: bool = False) -> np.ndarray:
+        """(ax, ay, az, al_x, al_y, al_z) of the named mover (basic_envs.py:845-855)."""
+        xy = self._mover_plane('acc', mover_name)
+        qacc = np.array([xy[0], xy[1], 0.0, 0.0, 0.0, 0.0])
+        std = float(np.asarray(self.params.std_noise).reshape(-1)[2])
+        return qacc + self._rng_noise.normal(loc=0.0, scale=std * int(add_noise), size=qacc.shape[0])
 
     def _render_2d_live(self):
         """Update the live show_2D_plot window (reference Matplotlib2DViewer

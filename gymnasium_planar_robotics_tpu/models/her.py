@@ -46,6 +46,17 @@ class HERConfig:
     explore_eps: float = 0.3  # fraction of fully-random actions (standard HER)
     reward_scale: float = 0.02  # critic trains on r*scale (sparse ±50 -> ±1)
     update_steps: int = 10
+    #: transitions kept in the on-device circular replay buffer; 0 = train on
+    #: the current rollout window only.  Replay is the stabilizer the
+    #: reference recipe gets from SB3's HerReplayBuffer (docs/train_agents.rst):
+    #: rare contact-progress transitions survive many updates instead of
+    #: washing away with the window
+    replay_size: int = 0
+    minibatch: int = 4096  # replay minibatch per update step
+    #: actor loss += action_l2 * mean((a/scale)^2) — the standard HER actor
+    #: regularizer (keeps the deterministic policy off the action limits,
+    #: where DDPG's critic-exploitation divergence starts)
+    action_l2: float = 0.0
 
 
 def _mlp_init(key, sizes, dtype=jnp.float32, out_scale=0.01):
@@ -125,6 +136,44 @@ def relabel_future(key, done, next_achieved, desired, relabel_prob):
     return jnp.where(use[..., None], donor, desired), use
 
 
+def init_replay(cfg: HERConfig) -> dict:
+    """Zero-initialized circular replay buffer (a pytree carried in the
+    runner; lives on device / sharded like any other state)."""
+    d = cfg.obs_dim + 2 * cfg.goal_dim
+    n = cfg.replay_size
+    return {
+        's': jnp.zeros((n, d), jnp.float32),
+        'a': jnp.zeros((n, cfg.action_dim), jnp.float32),
+        'r': jnp.zeros((n,), jnp.float32),
+        's_next': jnp.zeros((n, d), jnp.float32),
+        'not_term': jnp.zeros((n,), jnp.float32),
+        'ptr': jnp.zeros((), jnp.int32),
+        'filled': jnp.zeros((), jnp.int32),
+    }
+
+
+def _replay_insert(buf: dict, batch) -> dict:
+    s, a, r, s_next, not_term = batch
+    n = buf['s'].shape[0]
+    m = s.shape[0]
+    idx = (buf['ptr'] + jnp.arange(m, dtype=jnp.int32)) % n
+    return dict(
+        buf,
+        s=buf['s'].at[idx].set(s),
+        a=buf['a'].at[idx].set(a),
+        r=buf['r'].at[idx].set(r),
+        s_next=buf['s_next'].at[idx].set(s_next),
+        not_term=buf['not_term'].at[idx].set(not_term),
+        ptr=(buf['ptr'] + m) % n,
+        filled=jnp.minimum(buf['filled'] + m, n),
+    )
+
+
+def _replay_sample(buf: dict, key, minibatch: int):
+    idx = jax.random.randint(key, (minibatch,), 0, jnp.maximum(buf['filled'], 1))
+    return (buf['s'][idx], buf['a'][idx], buf['r'][idx], buf['s_next'][idx], buf['not_term'][idx])
+
+
 def make_train_step(
     env_config,
     env_params,
@@ -132,18 +181,28 @@ def make_train_step(
     step_autoreset_fn: Callable,
     compute_reward_fn: Callable,
     terminated_fn: Callable,
+    vec_fn: Callable | None = None,
 ):
     """Build ``train_step(runner) -> (runner, metrics)``.
 
     ``compute_reward_fn(achieved, desired, mover_col, wall_col)`` and
     ``terminated_fn(reward)`` are the env family's HER-relabeling surface
-    (planning: ``|r| == 50``; pushing: ``r == -50``)."""
+    (planning: ``|r| == 50``; pushing: ``r == -50``).
+
+    ``vec_fn(obs_part, achieved, desired) -> [.., D]`` optionally replaces the
+    plain concat network input — policy-internal featurization (e.g. the
+    relative object/goal offsets pushing needs); it must be a pure function of
+    the obs dict so the trained policy transfers to any engine serving the
+    same observations.  ``cfg.obs_dim + 2*cfg.goal_dim`` must equal D."""
     actor_opt = optax.adam(cfg.actor_lr)
     critic_opt = optax.adam(cfg.critic_lr)
     batched_env_step = jax.vmap(step_autoreset_fn, in_axes=(None, None, 0, 0))
 
-    def vec(obs_part, achieved, desired):
-        return jnp.concatenate([obs_part, achieved, desired], axis=-1).astype(jnp.float32)
+    if vec_fn is not None:
+        vec = vec_fn
+    else:
+        def vec(obs_part, achieved, desired):
+            return jnp.concatenate([obs_part, achieved, desired], axis=-1).astype(jnp.float32)
 
     def rollout_body(carry, _):
         env_state, obs, params, key = carry
@@ -191,11 +250,16 @@ def make_train_step(
 
     def actor_loss(actor, params, s):
         a = actor_action(actor, s, cfg.action_scale)
-        return -critic_q(params['critic'], s, a).mean()
+        reg = cfg.action_l2 * jnp.mean((a / cfg.action_scale) ** 2)
+        return -critic_q(params['critic'], s, a).mean() + reg
 
     def train_step(runner):
-        env_state, obs, params, a_opt, c_opt, key = runner
-        key, k_roll, k_rel = jax.random.split(key, 3)
+        if cfg.replay_size > 0:
+            env_state, obs, params, a_opt, c_opt, buffer, key = runner
+        else:
+            env_state, obs, params, a_opt, c_opt, key = runner
+            buffer = None
+        key, k_roll, k_rel, k_upd = jax.random.split(key, 4)
         (env_state, obs, params, _), traj = jax.lax.scan(
             rollout_body, (env_state, obs, params, k_roll), None, length=cfg.rollout_steps
         )
@@ -227,13 +291,18 @@ def make_train_step(
             [flat2(traj['terminated']), flat2(new_term)]
         ).astype(jnp.float32)
         batch = (s, a, r, s_next, not_term)
+        if buffer is not None:
+            buffer = _replay_insert(buffer, batch)
 
-        def update(carry, _):
+        def update(carry, k_step):
             params, a_opt, c_opt = carry
-            c_l, c_g = jax.value_and_grad(critic_loss)(params['critic'], params, batch)
+            # replay mode: each update step trains on a fresh uniform
+            # minibatch from the buffer; window mode: full-window GD
+            mb = batch if buffer is None else _replay_sample(buffer, k_step, cfg.minibatch)
+            c_l, c_g = jax.value_and_grad(critic_loss)(params['critic'], params, mb)
             c_up, c_opt = critic_opt.update(c_g, c_opt, params['critic'])
             params = dict(params, critic=optax.apply_updates(params['critic'], c_up))
-            a_l, a_g = jax.value_and_grad(actor_loss)(params['actor'], params, s)
+            a_l, a_g = jax.value_and_grad(actor_loss)(params['actor'], params, mb[0])
             a_up, a_opt = actor_opt.update(a_g, a_opt, params['actor'])
             params = dict(params, actor=optax.apply_updates(params['actor'], a_up))
             # polyak target updates
@@ -249,7 +318,7 @@ def make_train_step(
             return (params, a_opt, c_opt), (c_l, a_l)
 
         (params, a_opt, c_opt), (c_losses, a_losses) = jax.lax.scan(
-            update, (params, a_opt, c_opt), None, length=cfg.update_steps
+            update, (params, a_opt, c_opt), jax.random.split(k_upd, cfg.update_steps)
         )
         n_done = done.astype(jnp.float32).sum()
         metrics = {
@@ -264,6 +333,8 @@ def make_train_step(
             'relabeled_frac': used.astype(jnp.float32).mean(),
             'relabel_reward_mean': new_reward.mean(),
         }
+        if buffer is not None:
+            return (env_state, obs, params, a_opt, c_opt, buffer, key), metrics
         return (env_state, obs, params, a_opt, c_opt, key), metrics
 
     return train_step, (actor_opt, critic_opt)
