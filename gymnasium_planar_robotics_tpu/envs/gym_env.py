@@ -153,7 +153,10 @@ class _JaxGymEnv(gym.Env):
         loop); noise draws are consumed either way with the reference's
         scale-by-gate trick (basic_envs.py:801-829)."""
         xy = self._mover_plane('pos', mover_name)
-        qpos = np.array([xy[0], xy[1], float(np.asarray(self.params.initial_zpos)), 1.0, 0.0, 0.0, 0.0])
+        # pushing states carry a live mover z (the quasi-3D climb DOF);
+        # planning holds z analytically at the hover height
+        z = float(np.asarray(getattr(self._state, 'mover_z', self.params.initial_zpos)))
+        qpos = np.array([xy[0], xy[1], z, 1.0, 0.0, 0.0, 0.0])
         std = float(np.asarray(self.params.std_noise).reshape(-1)[0])
         return qpos + self._rng_noise.normal(loc=0.0, scale=std * int(add_noise), size=qpos.shape[0])
 

@@ -90,6 +90,17 @@ class PushingParams:
     mu_spin: jax.Array  # torsional floor friction [rad/s^2 equivalent decel]
     plow_kappa: jax.Array  # vertical load per unit impact force (floor N = m*g + kappa*f_imp)
     plow_cap: jax.Array  # cap on the load uplift (N <= (1 + cap) * m*g)
+    cone_zeta: jax.Array  # vertical share of the elliptic friction cone during slip
+    cone_vt: jax.Array  # tangential slip speed [m/s] at which the share saturates
+    cone_plow: jax.Array  # floor-load per unit f_z (N += cone_plow * f_z)
+    cone_plow_cap: jax.Array  # cap on the f_z load uplift, in units of m*g
+    # quasi-3D mover z DOF (the measured corner-escape mechanism: the f_z
+    # reaction LIFTS the mover against the reference's soft K=1 z impedance
+    # until it clears the 40 mm object and sails over it)
+    mover_height: jax.Array  # full mover height [m] (2 * half_z)
+    object_height: jax.Array  # full object height [m] (0.04)
+    imp_k: jax.Array  # impedance translational stiffness (reference: 1.0)
+    imp_d: jax.Array  # critical damping 2*sqrt(K*m) (impedance_control.py:43-47)
 
 
 @jax.tree_util.register_dataclass
@@ -103,6 +114,8 @@ class PushingState:
     obj_vel: jax.Array  # [2]
     obj_yaw: jax.Array  # [] object rotation about z (MuJoCo free-joint yaw)
     obj_w: jax.Array  # [] object angular velocity
+    mover_z: jax.Array  # [] mover bottom height above the tile top
+    mover_vz: jax.Array  # [] mover vertical velocity
     goal: jax.Array  # [2] object goal
     key: jax.Array
     steps: jax.Array
@@ -251,6 +264,19 @@ def make_pushing_env(
         # CALIBRATION.md) with the 10-step strong-push suite held green.
         plow_kappa=jnp.asarray(4.0, dtype),
         plow_cap=jnp.asarray(1.5, dtype),
+        # elliptic-cone vertical share (f_z = zeta * f_imp eats the lateral
+        # friction budget): measured 0.8-1.0 during impact bursts via
+        # mj_contactForce on the reference's diagonal corner push; calibrated
+        # on the 50-step suite (round 4) — this is what releases the object
+        # past the mover's corner instead of keeping it captured
+        cone_zeta=jnp.asarray(0.8, dtype),
+        cone_vt=jnp.asarray(0.25, dtype),
+        cone_plow=jnp.asarray(1.0, dtype),
+        cone_plow_cap=jnp.asarray(8.0, dtype),
+        mover_height=jnp.asarray(2.0 * mover_size[2], dtype),
+        object_height=jnp.asarray(0.04, dtype),
+        imp_k=jnp.asarray(1.0, dtype),
+        imp_d=jnp.asarray(2.0 * np.sqrt(1.0 * mover_mass), dtype),
     )
     return config, params
 
@@ -319,7 +345,8 @@ def reset(
     zero = jnp.zeros((), dtype)
     state = PushingState(
         pos=mover_xy, vel=zeros, acc=zeros, act=zeros,
-        obj_pos=obj_xy, obj_vel=zeros, obj_yaw=zero, obj_w=zero, goal=goal,
+        obj_pos=obj_xy, obj_vel=zeros, obj_yaw=zero, obj_w=zero,
+        mover_z=jnp.asarray(params.initial_zpos, dtype), mover_vz=zero, goal=goal,
         key=next_key, steps=jnp.asarray(0, jnp.int32),
     )
     k_wall, k_obs = jax.random.split(k_noise)
@@ -346,7 +373,7 @@ def _step_core(config: PushingConfig, params: PushingParams, state: PushingState
     pose_noise = jax.random.normal(k_wall, (c, _pose_noise_dims(config)), dtype) * params.std_noise[0]
 
     def cycle(carry, noise):
-        pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, c_axis, wall, done = carry
+        pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, mz, mvz, c_axis, wall, done = carry
         nv, npose = noise
         vel_meas = vel + nv
 
@@ -369,16 +396,35 @@ def _step_core(config: PushingConfig, params: PushingParams, state: PushingState
             pos, vel, obj_pos, obj_vel, obj_yaw, obj_w,
             params.mover_half, params.object_half,
             params.contact_k, params.contact_b, params.contact_bt, params.contact_mu,
-            sticky_axis=c_axis,
+            sticky_axis=c_axis, cone_zeta=params.cone_zeta, cone_vt=params.cone_vt,
         )
+        # quasi-3D: the contact only acts over the z-overlap of the mover's
+        # side face [mz, mz + H_m] with the object's [0, H_o]; as the mover
+        # climbs, every contact force (incl. the plow/lift terms) fades
+        zf = jnp.clip(
+            (jnp.minimum(mz + params.mover_height, params.object_height) - mz) / params.mover_height,
+            0.0, 1.0,
+        )
+        f_obj_c = forces.f_obj * zf
+        f_imp_c = forces.f_imp * zf
+        f_z_c = forces.f_z * zf
+        torque_c = forces.torque_obj * zf
+        # mover z: soft task-space impedance (reference K=1 + critical
+        # damping, impedance_control.py:43-47) vs the vertical friction
+        # REACTION of pressing the object down — measured in the reference:
+        # a sustained corner push lifts the mover ~0.5-3 mm/step until it
+        # clears the object (the real 'corner escape')
+        zacc = (params.imp_k * (params.initial_zpos - mz) - params.imp_d * mvz + f_z_c) / params.total_mass
+        new_mvz = mvz + params.dt * zacc
+        new_mz = jnp.maximum(mz + params.dt * new_mvz, 0.0)
         # body qacc: gain-mass-scaled command + contact reaction over the
         # TOTAL body mass (mover + bumper); accel_scale == 1 multiplies
         # exactly (IEEE), keeping the bumperless path bit-identical
-        qacc = params.accel_scale * ctrl_acc.reshape(2) + forces.f_mover / params.total_mass
+        qacc = params.accel_scale * ctrl_acc.reshape(2) + (-f_obj_c) / params.total_mass
         new_vel = vel + params.dt * qacc
         new_pos = pos + params.dt * new_vel
 
-        obj_acc = forces.f_obj / params.object_mass
+        obj_acc = f_obj_c / params.object_mass
         # implicit joint damping as in MuJoCo's Euler integrator
         damp = 1.0 + params.dt * params.object_damping / params.object_mass
         v_obj = (obj_vel + params.dt * obj_acc) / damp
@@ -388,15 +434,18 @@ def _step_core(config: PushingConfig, params: PushingParams, state: PushingState
         # to the impact (damping) part of the force, capped near the measured
         # cone-limit uplift: N = m*g * (1 + min(kappa*f_imp/(m*g), cap))
         load = 1.0 + jnp.minimum(
-            params.plow_kappa * forces.f_imp / (params.object_mass * params.gravity),
+            params.plow_kappa * f_imp_c / (params.object_mass * params.gravity),
             params.plow_cap,
+        ) + jnp.minimum(
+            params.cone_plow * f_z_c / (params.object_mass * params.gravity),
+            params.cone_plow_cap,
         )
         v_obj = contact.coulomb_floor_step(v_obj, mu_g_dt * load)
         new_obj_pos = obj_pos + params.dt * v_obj
         # yaw: contact torque, implicit rotational joint damping, torsional
         # floor friction (discrete Coulomb on omega)
         damp_w = 1.0 + params.dt * params.object_damping / params.obj_inertia
-        w_obj = (obj_w + params.dt * forces.torque_obj / params.obj_inertia) / damp_w
+        w_obj = (obj_w + params.dt * torque_c / params.obj_inertia) / damp_w
         w_obj = contact.coulomb_spin_step(w_obj, params.mu_spin * params.dt * load)
         new_obj_yaw = obj_yaw + params.dt * w_obj
 
@@ -410,23 +459,27 @@ def _step_core(config: PushingConfig, params: PushingParams, state: PushingState
         obj_vel = jnp.where(done, obj_vel, v_obj)
         obj_yaw = jnp.where(done, obj_yaw, new_obj_yaw)
         obj_w = jnp.where(done, obj_w, w_obj)
-        c_axis = jnp.where(done, c_axis, forces.axis)
+        mz = jnp.where(done, mz, new_mz)
+        mvz = jnp.where(done, mvz, new_mvz)
+        # the carried axis dies when the climb breaks contact (zf == 0)
+        c_axis = jnp.where(done, c_axis, jnp.where(zf > 0, forces.axis, -1.0))
         wall = jnp.where(done, wall, new_wall)
         done = done | wall
         # per-cycle poses + done for render_every_cycle (basic_envs.py:
         # 1884-1905 renders the colliding cycle's frame, then breaks);
         # dead-code-eliminated when the caller discards them
-        return (pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, c_axis, wall, done), (pos, vel, obj_pos, obj_yaw, done)
+        return (pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, mz, mvz, c_axis, wall, done), (pos, vel, obj_pos, obj_yaw, done)
 
     init = (state.pos, state.vel, state.acc, state.act, state.obj_pos, state.obj_vel,
-            state.obj_yaw, state.obj_w, jnp.asarray(-1.0, dtype), jnp.asarray(False), jnp.asarray(False))
-    (pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, _, wall, _), cyc = jax.lax.scan(
+            state.obj_yaw, state.obj_w, state.mover_z, state.mover_vz,
+            jnp.asarray(-1.0, dtype), jnp.asarray(False), jnp.asarray(False))
+    (pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, mz, mvz, _, wall, _), cyc = jax.lax.scan(
         cycle, init, (vel_noise, pose_noise)
     )
 
     new_state = PushingState(
         pos=pos, vel=vel, acc=acc, act=act, obj_pos=obj_pos, obj_vel=obj_vel,
-        obj_yaw=obj_yaw, obj_w=obj_w,
+        obj_yaw=obj_yaw, obj_w=obj_w, mover_z=mz, mover_vz=mvz,
         goal=state.goal, key=key, steps=state.steps + 1,
     )
     obs = _get_obs(config, params, new_state, k_obs)
@@ -509,14 +562,15 @@ def make_fused_step(
         new_keys = keys[:, 0]
         seed = jax.random.randint(jax.random.fold_in(state.key[0], 11), (), 0, 2**31 - 1)
 
-        pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, wall = fused(
+        pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, mz, mvz, wall = fused(
             state.pos, state.vel, state.acc, state.act, state.obj_pos, state.obj_vel,
-            state.obj_yaw, state.obj_w, action, seed, noise=noise,
+            state.obj_yaw, state.obj_w, state.mover_z, state.mover_vz, action, seed, noise=noise,
         )
         new_state = PushingState(
             pos=pos.astype(dtype), vel=vel.astype(dtype), acc=acc.astype(dtype), act=act.astype(dtype),
             obj_pos=obj_pos.astype(dtype), obj_vel=obj_vel.astype(dtype),
             obj_yaw=obj_yaw.astype(dtype), obj_w=obj_w.astype(dtype),
+            mover_z=mz.astype(dtype), mover_vz=mvz.astype(dtype),
             goal=state.goal, key=new_keys, steps=state.steps + 1,
         )
         obs = jax.vmap(_partial(_get_obs, config, params))(new_state, keys[:, 1])
@@ -555,15 +609,17 @@ def make_fused_step_autoreset(
         new_keys = jax.vmap(lambda k: jax.random.split(k, 1)[0])(state.key)
         seed = jax.random.randint(jax.random.fold_in(state.key[0], 13), (), 0, 2**31 - 1)
 
-        (pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, goal, steps), obs_sel, obs_final, wall, stalled, trials = fused(
+        (pos, vel, acc, act, obj_pos, obj_vel, obj_yaw, obj_w, mz, mvz, goal, steps), obs_sel, obs_final, wall, stalled, trials = fused(
             state.pos, state.vel, state.acc, state.act, state.obj_pos, state.obj_vel,
-            state.obj_yaw, state.obj_w, state.goal, state.steps, action, seed, noise=noise,
+            state.obj_yaw, state.obj_w, state.mover_z, state.mover_vz, state.goal, state.steps,
+            action, seed, noise=noise,
         )
         acc = acc.astype(dtype)
         new_state = PushingState(
             pos=pos.astype(dtype), vel=vel.astype(dtype), acc=acc, act=act.astype(dtype),
             obj_pos=obj_pos.astype(dtype), obj_vel=obj_vel.astype(dtype),
-            obj_yaw=obj_yaw.astype(dtype), obj_w=obj_w.astype(dtype), goal=goal.astype(dtype),
+            obj_yaw=obj_yaw.astype(dtype), obj_w=obj_w.astype(dtype),
+            mover_z=mz.astype(dtype), mover_vz=mvz.astype(dtype), goal=goal.astype(dtype),
             key=new_keys, steps=steps,
         )
         old_goal = state.goal.astype(dtype)

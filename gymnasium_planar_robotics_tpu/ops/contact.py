@@ -101,6 +101,7 @@ class ContactForcesV2(NamedTuple):
     f_n_mag: jnp.ndarray = 0.0  # [...] normal-force magnitude
     f_imp: jnp.ndarray = 0.0  # [...] impact (damping) part of the normal force (drives the plow load)
     axis: jnp.ndarray = -1.0  # [...] chosen normal axis: 0=x, 1=y, -1=no contact (feeds hysteresis)
+    f_z: jnp.ndarray = 0.0  # [...] vertical (into-floor) friction component at the contact
 
 
 def box_push_contact_v2(
@@ -117,6 +118,8 @@ def box_push_contact_v2(
     b_t: jnp.ndarray,
     mu: jnp.ndarray,
     sticky_axis: jnp.ndarray | None = None,
+    cone_zeta: jnp.ndarray | float = 0.0,
+    cone_vt: jnp.ndarray | float = 0.05,
 ) -> ContactForcesV2:
     """Corner-aware planar box-box penalty contact with object yaw.
 
@@ -204,7 +207,25 @@ def box_push_contact_v2(
     tx = -n[..., 1]
     ty = n[..., 0]
     vt = vrx * tx + vry * ty
-    f_t_mag = jnp.clip(-b_t * vt, -mu * f_n_mag, mu * f_n_mag)
+    # VERTICAL (into-floor) friction component during tangential slip,
+    # measured via mj_contactForce on the reference: while the object slides
+    # along the mover's face the box-box friction carries f_z ~ 0.8-1.0x the
+    # normal force.  Three consequences, all encoded here and in the caller:
+    # (a) MuJoCo's elliptic cone shares one budget between the lateral and
+    # vertical tangentials (f_lat^2 + f_z^2 <= (mu*f_n)^2), shrinking the
+    # lateral drag; (b) f_z presses the object into the floor (extra floor
+    # friction — the plow); (c) its REACTION lifts the mover against the
+    # reference's soft K=1 z impedance (instrumented: a sustained corner push
+    # lifts the mover 0.5-3 mm/step until it clears the 40 mm object and
+    # sails over it — the real 'corner escape').  The share ramps with the
+    # slip speed (|vt|/cone_vt, saturating at 1) so quasi-static
+    # velocity-matched face pushes keep a horizontal face-face normal.
+    f_imp = jnp.minimum(jnp.maximum(0.0, -b_n * vn), f_n_mag)
+    slip = jnp.minimum(jnp.abs(vt) / cone_vt, 1.0)
+    f_z = cone_zeta * f_n_mag * slip
+    budget = mu * f_n_mag
+    cap = jnp.where(f_z > 0, jnp.sqrt(jnp.maximum(budget * budget - f_z * f_z, 0.0)), budget)
+    f_t_mag = jnp.clip(-b_t * vt, -cap, cap)
 
     cmask = in_contact.astype(pen.dtype)
     fx = (f_n_mag * n[..., 0] + f_t_mag * tx) * cmask
@@ -219,8 +240,9 @@ def box_push_contact_v2(
         penetration=pen * cmask,
         in_contact=in_contact,
         f_n_mag=f_n_mag * cmask,
-        f_imp=jnp.minimum(jnp.maximum(0.0, -b_n * vn), f_n_mag) * cmask,
+        f_imp=f_imp * cmask,
         axis=jnp.where(in_contact, jnp.where(axis_x, 0.0, 1.0), -1.0),
+        f_z=f_z * cmask,
     )
 
 

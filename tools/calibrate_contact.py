@@ -72,7 +72,7 @@ def run_reference(mover_start, obj_start, goal, actions=None, policy=None, steps
         oq = mujoco_utils.get_joint_qpos(env.model, env.data, env.object_joint_name)
         qw, qx, qy, qz = oq[3:7]
         yaw = np.arctan2(2 * (qw * qz + qx * qy), 1 - 2 * (qy * qy + qz * qz))
-        rows.append(dict(mx=mq[0], my=mq[1], ox=oq[0], oy=oq[1], yaw=float(yaw), term=bool(term)))
+        rows.append(dict(mx=mq[0], my=mq[1], mz=float(mq[2]), ox=oq[0], oy=oq[1], yaw=float(yaw), term=bool(term)))
         if term:
             break
     return rows
@@ -85,6 +85,7 @@ def run_mine(mover_start, obj_start, goal, actions=None, policy=None, steps=EPIS
     st = pushing.PushingState(
         pos=jnp.asarray(mover_start, jnp.float64), vel=z, acc=z, act=z,
         obj_pos=jnp.asarray(obj_start, jnp.float64), obj_vel=z, obj_yaw=s, obj_w=s,
+        mover_z=jnp.asarray(params.initial_zpos, jnp.float64), mover_vz=s,
         goal=jnp.asarray(goal, jnp.float64), key=jax.random.PRNGKey(0),
         steps=jnp.asarray(0, jnp.int32),
     )
@@ -99,7 +100,7 @@ def run_mine(mover_start, obj_start, goal, actions=None, policy=None, steps=EPIS
         a = np.asarray(actions[t], float) if actions is not None else policy(obs)
         st, jobs, rew, term, trunc, info = stepf(st, jnp.asarray(a, jnp.float64))
         obs = {k: np.asarray(v) for k, v in jobs.items()}
-        rows.append(dict(mx=float(st.pos[0]), my=float(st.pos[1]),
+        rows.append(dict(mx=float(st.pos[0]), my=float(st.pos[1]), mz=float(st.mover_z),
                          ox=float(st.obj_pos[0]), oy=float(st.obj_pos[1]),
                          yaw=float(st.obj_yaw), term=bool(term)))
         if term:
@@ -140,6 +141,8 @@ def run_ensemble(n_seeds: int = 20, steps: int = EPISODE):
     max object error vs the reference, reported as median/90th/max.  This is
     the headline bound; the named scenarios above are directed stress cases."""
     errs = []
+    climbs = 0  # episodes entering the corner-slip regime (reference mover z
+    # lifts >5 mm above hover — the instrumented climb signature)
     for seed in range(n_seeds):
         rng = np.random.default_rng(100 + seed)
         m0 = [0.18 + 0.04 * rng.random(), 0.30 + 0.08 * rng.random()]
@@ -153,9 +156,13 @@ def run_ensemble(n_seeds: int = 20, steps: int = EPISODE):
         n = min(len(ref), len(mine))
         e = max(max(abs(r['ox'] - m['ox']), abs(r['oy'] - m['oy'])) for r, m in zip(ref[:n], mine[:n]))
         errs.append(e)
+        z0 = ref[0]['mz']
+        if max(r['mz'] for r in ref) > z0 + 0.005:
+            climbs += 1
     errs = np.sort(np.asarray(errs))
     print(f'\nensemble ({n_seeds} seeds, {steps}-step episodes, random moderate pushes):')
     print(f'  median={np.median(errs)*1e3:.1f}mm  p90={errs[int(0.9*len(errs))-1]*1e3:.1f}mm  max={errs[-1]*1e3:.1f}mm')
+    print(f'  corner-slip regime entered (reference mover z lift >5mm): {climbs}/{n_seeds} episodes')
     return errs
 
 

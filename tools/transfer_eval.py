@@ -117,37 +117,31 @@ def train_planning(iters: int = 300, batch: int = 1024, seed: int = 0, log=print
 
 
 def _pushing_vec(obs_part, achieved, desired):
-    """Policy-internal featurization for pushing: normalized positions and
-    velocities plus the relative offsets (object - mover, goal - object) the
-    MLP would otherwise have to learn as subtractions.  A pure function of
-    the obs dict with FIXED constants (table center 0.36, half-span 0.36,
-    v_max 2.0), so it evaluates identically in the reference env."""
-    c, h = 0.36, 0.36
+    """Policy-internal featurization for pushing: the plain obs concat plus
+    the relative offsets (object - mover, goal - object) the MLP would
+    otherwise have to learn as subtractions.  A pure function of the obs
+    dict, so it evaluates identically in the reference env.  (A normalized
+    variant was probed in round 4 and scored slightly worse.)"""
     mover_pos = obs_part[..., :2]
-    mover_vel = obs_part[..., 2:4]
     return jnp.concatenate(
-        [
-            (mover_pos - c) / h,
-            mover_vel / 2.0,
-            (achieved - c) / h,
-            (desired - c) / h,
-            (achieved - mover_pos) / h,
-            (desired - achieved) / h,
-        ],
-        axis=-1,
+        [obs_part, achieved, desired, achieved - mover_pos, desired - achieved], axis=-1
     ).astype(jnp.float32)
 
 
-def train_pushing(iters: int = 1500, batch: int = 512, seed: int = 0, log=print):
-    """DDPG+HER on sparse pushing (the reference's own recipe for these envs,
-    docs/train_agents.rst); returns (policy_fn, cfg pair)."""
+def train_pushing(iters: int = 12000, batch: int = 256, seed: int = 0, log=print):
+    """DDPG+HER with replay on sparse pushing (the reference's own recipe for
+    these envs — SB3 HerReplayBuffer, docs/train_agents.rst); returns
+    (policy_fn, cfg pair).  Recipe selected by the round-4 probe sweep:
+    full-episode rollout windows, 4M-transition replay, action-L2 regularizer
+    (without which the DDPG actor diverges into wall-slamming)."""
     config, params = pushing.make_pushing_env(dtype=jnp.float32, **PUSHING_KW)
     cfg = her.HERConfig(
         # network input = _pushing_vec's 12 features (obs_dim counts the
         # non-goal part of the feature vector: 4 obs + 2 relative pairs)
         obs_dim=8, goal_dim=2, action_dim=2, hidden=(128, 128),
-        action_scale=PUSHING_KW['a_max'], rollout_steps=16, relabel_prob=0.8,
-        explore_std=0.2, explore_eps=0.3, update_steps=10, gamma=0.95,
+        action_scale=PUSHING_KW['a_max'], rollout_steps=HORIZON, relabel_prob=0.8,
+        explore_std=0.2, explore_eps=0.3, update_steps=20, gamma=0.95,
+        actor_lr=3e-4, replay_size=4_000_000, minibatch=4096, action_l2=1.0,
     )
     pol = her.init_params(jax.random.PRNGKey(seed), cfg)
     train_step, (a_opt, c_opt) = her.make_train_step(
@@ -158,8 +152,8 @@ def train_pushing(iters: int = 1500, batch: int = 512, seed: int = 0, log=print)
     )
     state, obs, _ = pushing.init_batch(config, params, jax.random.PRNGKey(seed + 1), batch)
     runner = (state, obs, pol, a_opt.init(pol['actor']), c_opt.init(pol['critic']),
-              jax.random.PRNGKey(seed + 2))
-    step = jax.jit(train_step)
+              her.init_replay(cfg), jax.random.PRNGKey(seed + 2))
+    step = jax.jit(train_step, donate_argnums=0)
     t0 = time.time()
     for i in range(iters):
         runner, m = step(runner)
@@ -182,6 +176,30 @@ def train_pushing(iters: int = 1500, batch: int = 512, seed: int = 0, log=print)
 # ---------------------------------------------------------------------------
 # evaluation
 # ---------------------------------------------------------------------------
+
+
+def scripted_pursuit_policy():
+    """Deterministic scripted pushing policy (no training): accelerate toward
+    the stand-off point behind the object, brake near contact — the
+    closed-loop probe of tools/calibrate_contact.py as a pure obs-vec
+    function.  A contact-heavy policy with zero learner noise, so its
+    engine-vs-reference success gap isolates the physics residual."""
+    a_max = PUSHING_KW['a_max']
+
+    @jax.jit
+    def policy(vec):
+        mover, mover_vel = vec[..., :2], vec[..., 2:4]
+        obj, goal = vec[..., 4:6], vec[..., 6:8]
+        to_goal = goal - obj
+        d = jnp.linalg.norm(to_goal, axis=-1, keepdims=True)
+        push_dir = to_goal / jnp.maximum(d, 1e-6)
+        target = obj - 0.11 * push_dir
+        acc = 60.0 * (target - mover) - 12.0 * mover_vel
+        n = jnp.linalg.norm(acc, axis=-1, keepdims=True)
+        return jnp.where(n <= a_max, acc, a_max * acc / jnp.maximum(n, 1e-9))
+
+    config, params = pushing.make_pushing_env(dtype=jnp.float32, **PUSHING_KW)
+    return policy, (config, params)
 
 
 def eval_in_engine(model, config, params, policy_fn, episodes: int, seed: int = 100):
@@ -268,17 +286,24 @@ def eval_in_reference(family: str, policy_fn, episodes: int, seed: int = 100, lo
 
 
 def run_family(family: str, episodes: int, train_iters: int | None, seed: int, log=print):
-    log(f'[{family}] training in-engine ...')
-    if family == 'planning':
+    if family == 'pushing-scripted':
+        log(f'[{family}] scripted pursuit policy (no training)')
+        policy, (config, params) = scripted_pursuit_policy()
+        model = pushing
+    elif family == 'planning':
+        log(f'[{family}] training in-engine ...')
         policy, (config, params) = train_planning(iters=train_iters or 300, seed=seed, log=log)
         model = planning
     else:
-        policy, (config, params) = train_pushing(iters=train_iters or 1500, seed=seed, log=log)
+        log(f'[{family}] training in-engine ...')
+        policy, (config, params) = train_pushing(iters=train_iters or 12000, seed=seed, log=log)
         model = pushing
     log(f'[{family}] evaluating in-engine ({max(episodes, 512)} episodes) ...')
     eng = eval_in_engine(model, config, params, policy, max(episodes, 512), seed=seed + 100)
     log(f'[{family}] evaluating in REFERENCE MuJoCo ({episodes} episodes) ...')
-    ref = eval_in_reference(family, policy, episodes, seed=seed + 100, log=log)
+    ref = eval_in_reference(
+        'pushing' if family.startswith('pushing') else family, policy, episodes, seed=seed + 100, log=log
+    )
     result = {
         'family': family,
         'engine': eng,
@@ -291,8 +316,9 @@ def run_family(family: str, episodes: int, train_iters: int | None, seed: int, l
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--families', nargs='+', default=['planning', 'pushing'],
-                    choices=['planning', 'pushing'])
+    ap.add_argument('--families', nargs='+',
+                    default=['planning', 'pushing', 'pushing-scripted'],
+                    choices=['planning', 'pushing', 'pushing-scripted'])
     ap.add_argument('--episodes', type=int, default=200, help='reference-env episodes')
     ap.add_argument('--train-iters', type=int, default=None)
     ap.add_argument('--seed', type=int, default=0)
