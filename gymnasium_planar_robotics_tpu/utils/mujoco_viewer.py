@@ -38,6 +38,94 @@ def _require_mujoco():
     return mujoco
 
 
+def hud_overlay_entries(
+    *,
+    run_speed: float,
+    render_every_frame: bool,
+    ncam: int,
+    cam_id: int,
+    contacts: bool,
+    transparent: bool,
+    paused: bool | None,
+    frames_on: bool,
+    captured_path: str | None,
+    fps: int,
+    step: int,
+    timestep: float,
+) -> list[tuple[str, str, str]]:
+    """(grid-position, label, value) rows for the interactive viewer HUD —
+    the reference's keyboard/status overlay (rendering.py:14-66) as a pure
+    function so the assembly logic is testable without a window.  Top-left:
+    the keyboard map; bottom-left: FPS / physics step / timestep."""
+    top, bottom = 'topleft', 'bottomleft'
+    rows: list[tuple[str, str, str]] = []
+    if render_every_frame:
+        rows.append((top, '', ''))
+    else:
+        rows.append((top, f'Run speed = {run_speed:.3f} x real time', '[S]lower, [F]aster'))
+    rows.append((top, f'Switch camera (#cams = {ncam + 1})', f'[Tab] (camera ID = {cam_id})'))
+    rows.append((top, '[C]ontact forces', 'On' if contacts else 'Off'))
+    rows.append((top, 'T[r]ansparent', 'On' if transparent else 'Off'))
+    if paused is not None:
+        if paused:
+            rows.append((top, 'Start', '[Space]'))
+            rows.append((top, 'Advance simulation by one step', '[right arrow]'))
+        else:
+            rows.append((top, 'Stop', '[Space]'))
+    rows.append((top, 'Referenc[e] frames', 'On' if frames_on else 'Off'))
+    rows.append((top, '[H]ide Menu', ''))
+    rows.append((top, 'Cap[t]ure frame', f'Saved as {captured_path}' if captured_path else ''))
+    rows.append((top, 'Toggle geomgroup visibility', '0-4'))
+    rows.append((bottom, 'FPS', f'{fps} '))
+    rows.append((bottom, 'Step', str(step)))
+    rows.append((bottom, 'timestep', f'{timestep:.5f}'))
+    return rows
+
+
+def make_window_viewer_hud(model, data):
+    """Gymnasium WindowViewer subclass with the reference's HUD overlay
+    (rendering.py:14-66): keyboard map top-left, FPS/step/timestep
+    bottom-left.  Needs a windowing system (glfw); factory-scoped so headless
+    hosts can still import this module."""
+    import mujoco
+    from gymnasium.envs.mujoco.mujoco_rendering import WindowViewer
+
+    class MujocoWindowViewerHUD(WindowViewer):
+        def __init__(self, model, data):
+            super().__init__(model=model, data=data)
+            self.is_running = True
+
+        def close(self):
+            super().close()
+            self.is_running = False
+
+        def _create_overlay(self):
+            grid = {
+                'topleft': mujoco.mjtGridPos.mjGRID_TOPLEFT,
+                'bottomleft': mujoco.mjtGridPos.mjGRID_BOTTOMLEFT,
+            }
+            captured = None
+            if getattr(self, '_image_idx', 0) > 0:
+                captured = self._image_path % (self._image_idx - 1)
+            for pos, label, value in hud_overlay_entries(
+                run_speed=self._run_speed,
+                render_every_frame=self._render_every_frame,
+                ncam=self.model.ncam,
+                cam_id=self.cam.fixedcamid,
+                contacts=self._contacts,
+                transparent=self._transparent,
+                paused=self._paused,
+                frames_on=self.vopt.frame == 1,
+                captured_path=captured,
+                fps=int(1 / self._time_per_render),
+                step=round(self.data.time / self.model.opt.timestep),
+                timestep=self.model.opt.timestep,
+            ):
+                self.add_overlay(grid[pos], label, value)
+
+    return MujocoWindowViewerHUD(model, data)
+
+
 class MujocoViewerCollection:
     """Stream TPU env state into a mirror MuJoCo model and render it.
 
@@ -183,7 +271,10 @@ class MujocoViewerCollection:
         mujoco = self._mujoco
         if render_mode == 'human':
             self._ensure_human_viewer()
-            self._human_viewer.sync()
+            if hasattr(self._human_viewer, 'sync'):  # passive backend
+                self._human_viewer.sync()
+            else:  # WindowViewer backend (HUD overlay)
+                self._human_viewer.render()
             return None
 
         assert render_mode in ('rgb_array', 'depth_array'), f'unknown render mode {render_mode!r}'
@@ -221,13 +312,14 @@ class MujocoViewerCollection:
     def _ensure_human_viewer(self):
         if self._human_viewer is not None:
             return
-        mujoco = self._mujoco
         if self._use_passive:
             import mujoco.viewer
 
             self._human_viewer = mujoco.viewer.launch_passive(self.model, self.data)
-        else:  # pragma: no cover - needs a windowing system
-            raise RuntimeError('human mode requires the passive MuJoCo viewer')
+        else:  # pragma: no cover - needs a windowing system (glfw)
+            # Gymnasium WindowViewer with the reference's keyboard/FPS HUD
+            # (rendering.py:14-66)
+            self._human_viewer = make_window_viewer_hud(self.model, self.data)
 
     def reload_model(self, params=None) -> None:
         """Reference API parity (``rendering.py:258-280``): the reference

