@@ -236,6 +236,43 @@ def bench_planning_fused(batch=BATCH, num_movers=1, layout=None, n_mesh_devices=
     return _best_rate(run_block, batch * ROLLOUT_T * TIMED_CALLS)
 
 
+def bench_planning_rollout(batch=BATCH, **env_kwargs):
+    """Plane-form K-step fused rollout (``planning.make_fused_rollout``):
+    the env state stays in kernel plane layout across the scan, removing the
+    ~30 µs/step of XLA pack/unpack glue the per-step path pays — the
+    round-4 fix for the dispatch-bound small-batch regime, and ~1.8x on the
+    4096-env headline too (actions precomputed: random/offline policies)."""
+    from gymnasium_planar_robotics_tpu.models import planning
+
+    config, params = planning.make_planning_env(
+        layout_tiles=np.ones((3, 3)), num_movers=1, std_noise=1e-5, dtype=jnp.float32, **env_kwargs,
+    )
+    state, obs, _ = jax.block_until_ready(planning.init_batch(config, params, jax.random.PRNGKey(0), batch))
+    roll_fn = planning.make_fused_rollout(config, params)
+    a_lim = float(np.asarray(params.j_max if config.learn_jerk else params.a_max))
+
+    @jax.jit
+    def roll(state, key, seed):
+        key, sub = jax.random.split(key)
+        acts = jax.random.uniform(sub, (ROLLOUT_T, batch, 2), jnp.float32, -a_lim, a_lim)
+        s, rew, te, tr = roll_fn(state, acts, seed)
+        return s, key, rew.mean()
+
+    key = jax.random.PRNGKey(1)
+    state, key, rs = jax.block_until_ready(roll(state, key, 0))
+    box = [state, key, 1]
+
+    def run_block():
+        s, k, seed = box
+        for _ in range(TIMED_CALLS):
+            s, k, rs = roll(s, k, seed)
+            seed += ROLLOUT_T
+        jax.block_until_ready(rs)
+        box[:] = [s, k, seed]
+
+    return _best_rate(run_block, batch * ROLLOUT_T * TIMED_CALLS)
+
+
 def bench_multiagent(batch=4096, num_agents=4):
     """BASELINE config 4: PettingZoo-style parallel multi-agent, batched.
 
@@ -338,6 +375,8 @@ def main() -> None:
              bench_pushing(4096, mover_params={'shape': 'mesh', 'mesh': {'bumper_mass': 0.35}}), REF_PUSHING),
             ('planning 1-mover 4096 envs', bench_planning(4096, 1), REF_PLANNING_1),
             ('planning 1-mover 4096 envs (pallas fused)', bench_planning_fused(4096), REF_PLANNING_1),
+            ('planning 1-mover 4096 envs (plane-form fused rollout)', bench_planning_rollout(4096), REF_PLANNING_1),
+            ('planning 1-mover 256 envs (plane-form fused rollout)', bench_planning_rollout(256), REF_PLANNING_1),
             ('planning 1-mover 4096 envs (fused, shard_map 1-device mesh)',
              bench_planning_fused(4096, n_mesh_devices=1), REF_PLANNING_1),
             ('planning jerk-mode 4096 envs (pallas fused)', bench_planning_fused(4096, learn_jerk=True), REF_PLANNING_1),

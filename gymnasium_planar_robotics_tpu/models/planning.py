@@ -861,6 +861,93 @@ def autoreset_select(done, stepped_state, reset_state, carry_key):
     return dataclasses.replace(kept, key=jnp.where(done, reset_state.key, carry_key))
 
 
+def make_fused_rollout(
+    config: PlanningConfig, params: PlanningParams, interpret: bool = False, cand_k: int = 16
+):
+    """Plane-form K-step fused rollout for the glue-bound SMALL-BATCH regime
+    (round-3 VERDICT #5).
+
+    The per-step fused path pays a fixed ~30 µs of XLA pack/unpack glue per
+    step (measured at 256 envs, where the kernel body itself is ~4 µs); this
+    rollout keeps the env state in the kernel's plane layout across a
+    ``lax.scan`` — ONE pack and ONE unpack per rollout — and feeds the kernel
+    a pre-computed action tensor (random/offline policies; a reactive policy
+    needs the per-step API).
+
+    Returns ``rollout(state, actions[T, B, 2], seed) -> (final PlanningState,
+    rewards [T, B], terminated [T, B], truncated [T, B])``.  Sparse rewards;
+    single-mover in-kernel configs only (``pallas_step.supports``); episode
+    restarts run in-kernel exactly as the per-step path.  Randomness comes
+    from the on-core hardware PRNG seeded ``seed + t`` per step.
+    """
+    from gymnasium_planar_robotics_tpu.ops import pallas_step
+
+    assert pallas_step.supports(config, params), 'config has no single-mover fused kernel'
+    assert config.reward_mode == 'sparse', 'fused rollout computes the sparse reward in-plane'
+    fused = pallas_step.make_fused_planning_autoreset_cycles(
+        config, params, interpret=interpret, cand_k=cand_k
+    )
+    raw = fused.raw_planes
+    limit = params.j_max if config.learn_jerk else params.a_max
+    scale = float(np.asarray(params.accel_scale).reshape(-1)[0])
+    max_steps = float(config.max_episode_steps)
+
+    def rollout(state: PlanningState, actions: jnp.ndarray, seed):
+        b = state.pos.shape[0]
+        assert b % 128 == 0, 'plane-form rollout needs a 128-multiple batch'
+        rows = b // 128
+        dtype = state.pos.dtype
+        actions = jnp.clip(jnp.asarray(actions, jnp.float32).reshape(-1, b, 2), -limit, limit)
+
+        def plane(x, comp):
+            return x.reshape(b, 2)[:, comp].reshape(rows, 128).astype(jnp.float32)
+
+        a_in = state.act if config.learn_jerk else state.acc
+        planes0 = tuple(
+            [plane(state.pos, 0), plane(state.pos, 1), plane(state.vel, 0), plane(state.vel, 1),
+             plane(a_in, 0), plane(a_in, 1), plane(state.goals, 0), plane(state.goals, 1),
+             state.steps.astype(jnp.float32).reshape(rows, 128)]
+        )
+        action_planes = actions.reshape(-1, b, 2).transpose(0, 2, 1).reshape(-1, 2, rows, 128)
+
+        def body(carry, x):
+            planes, t = carry
+            a_t = x  # [2, rows, 128]
+            outs = raw(planes, (a_t[0], a_t[1]), seed + t)
+            new_planes = tuple(outs[:9])
+            wall = outs[19]
+            reached = outs[20]
+            # sparse single-mover reward (step_autoreset semantics): -50 on
+            # wall, +50 all-reached, else -(#unreached) = -1
+            reward = jnp.where(wall > 0.5, -REWARD_SUCCESS,
+                               jnp.where(reached > 0.5, REWARD_SUCCESS, -1.0))
+            term = jnp.maximum(wall, reached)
+            trunc = jnp.where(planes[8] + 1.0 >= max_steps, 1.0, 0.0)
+            return (new_planes, t + 1), (reward, term, trunc)
+
+        (planes, _), (rew, term, trunc) = jax.lax.scan(
+            body, (planes0, jnp.asarray(0, jnp.int32)), action_planes
+        )
+
+        def pair(i):
+            return jnp.stack([planes[i].reshape(b), planes[i + 1].reshape(b)], -1).astype(dtype)
+
+        act = pair(4)
+        final = PlanningState(
+            pos=pair(0)[:, None, :], vel=pair(2)[:, None, :],
+            acc=(act * scale)[:, None, :],
+            act=act[:, None, :] if config.learn_jerk else jnp.zeros_like(act)[:, None, :],
+            goals=pair(6)[:, None, :],
+            key=jax.vmap(lambda k: jax.random.split(k, 1)[0])(state.key),
+            steps=planes[8].reshape(b).astype(jnp.int32),
+        )
+        T = rew.shape[0]
+        return (final, rew.reshape(T, b).astype(dtype),
+                term.reshape(T, b) > 0.5, trunc.reshape(T, b) > 0.5)
+
+    return rollout
+
+
 @partial(jax.jit, static_argnums=(0, 3))
 def init_batch(config: PlanningConfig, params: PlanningParams, key: jax.Array, batch: int):
     """Vectorized reset for a batch of envs: returns batched state/obs/info.
