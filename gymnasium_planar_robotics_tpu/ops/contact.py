@@ -175,7 +175,16 @@ def box_push_contact_v2(
     # caller-carried ``sticky_axis`` (0=x, 1=y, -1=none) overrides the
     # min-translation pick while that axis still overlaps — without it the
     # alternating normal plows corner pushes diagonally instead of letting
-    # the object slide off the face.
+    # the object slide off the face.  SCOPE (round-3 advisor note): the
+    # callers re-seed the carry to -1 at every ENV-STEP boundary
+    # (models/pushing._step_core, the fused kernels), so the 26-step
+    # measurement above is modeled within one step's 40 cycles; a push
+    # sustained across step boundaries re-picks the min-translation axis
+    # each step.  Calibrated bounds (CALIBRATION.md) are measured with this
+    # scope: the per-scenario and ensemble bounds already hold with it, and
+    # the first-cycle re-pick lands on the previously carried axis whenever
+    # the overlap geometry still favors it (min-translation is a function of
+    # the pose, which moves <1 mm across a step boundary).
     axis_x = olx_c <= oly_c
     if sticky_axis is not None:
         keep_x = (sticky_axis == 0.0) & (olx > 0)
