@@ -273,6 +273,38 @@ def bench_planning_rollout(batch=BATCH, **env_kwargs):
     return _best_rate(run_block, batch * ROLLOUT_T * TIMED_CALLS)
 
 
+def bench_pushing_rollout(batch=BATCH, **env_kwargs):
+    """Pushing plane-form K-step fused rollout (``pushing.make_fused_rollout``)
+    — the PRIMARY metric family with the per-step XLA glue removed."""
+    from gymnasium_planar_robotics_tpu.models import pushing
+
+    config, params = pushing.make_pushing_env(std_noise=1e-5, dtype=jnp.float32, **env_kwargs)
+    state, obs, _ = jax.block_until_ready(pushing.init_batch(config, params, jax.random.PRNGKey(0), batch))
+    roll_fn = pushing.make_fused_rollout(config, params)
+    a_lim = float(np.asarray(params.j_max if config.learn_jerk else params.a_max))
+
+    @jax.jit
+    def roll(state, key, seed):
+        key, sub = jax.random.split(key)
+        acts = jax.random.uniform(sub, (ROLLOUT_T, batch, 2), jnp.float32, -a_lim, a_lim)
+        s, rew, te, tr = roll_fn(state, acts, seed)
+        return s, key, rew.mean()
+
+    key = jax.random.PRNGKey(1)
+    state, key, rs = jax.block_until_ready(roll(state, key, 0))
+    box = [state, key, 1]
+
+    def run_block():
+        s, k, seed = box
+        for _ in range(TIMED_CALLS):
+            s, k, rs = roll(s, k, seed)
+            seed += ROLLOUT_T
+        jax.block_until_ready(rs)
+        box[:] = [s, k, seed]
+
+    return _best_rate(run_block, batch * ROLLOUT_T * TIMED_CALLS)
+
+
 def bench_multiagent(batch=4096, num_agents=4):
     """BASELINE config 4: PettingZoo-style parallel multi-agent, batched.
 
@@ -369,6 +401,7 @@ def main() -> None:
     if '--suite' in sys.argv:
         rows = [
             ('pushing 4096 envs', bench_pushing(4096), REF_PUSHING),
+            ('pushing 4096 envs (plane-form fused rollout)', bench_pushing_rollout(4096), REF_PUSHING),
             ('pushing 4096 envs (fused, shard_map 1-device mesh)',
              bench_pushing(4096, n_mesh_devices=1), REF_PUSHING),
             ('pushing mesh+bumper 4096 envs (pallas fused)',
@@ -396,14 +429,22 @@ def main() -> None:
         return
 
     try:
-        value = bench_pushing()
-        metric = f'pushing env-steps/s per chip ({BATCH} envs, 40 cycles)'
+        # plane-form fused rollout: the fastest correct pushing path (the
+        # per-step fused path carries ~30us/step of XLA pack/unpack glue)
+        value = bench_pushing_rollout()
+        metric = f'pushing env-steps/s per chip ({BATCH} envs, 40 cycles, fused rollout)'
         ref = REF_PUSHING
-    except Exception as e:  # tunnel flakiness: report the planning config instead
-        _log(f'bench: pushing path failed ({type(e).__name__}: {str(e)[:120]}); falling back to planning')
-        value = bench_planning(BATCH)
-        metric = f'planning env-steps/s per chip ({BATCH} envs, 1 mover, 40 cycles)'
-        ref = REF_PLANNING_1
+    except Exception as e:
+        _log(f'bench: rollout path failed ({type(e).__name__}: {str(e)[:120]}); falling back to per-step')
+        try:
+            value = bench_pushing()
+            metric = f'pushing env-steps/s per chip ({BATCH} envs, 40 cycles)'
+            ref = REF_PUSHING
+        except Exception as e2:  # tunnel flakiness: report the planning config instead
+            _log(f'bench: pushing path failed ({type(e2).__name__}: {str(e2)[:120]}); falling back to planning')
+            value = bench_planning(BATCH)
+            metric = f'planning env-steps/s per chip ({BATCH} envs, 1 mover, 40 cycles)'
+            ref = REF_PLANNING_1
     print(
         json.dumps(
             {

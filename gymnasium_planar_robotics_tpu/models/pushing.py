@@ -660,6 +660,92 @@ def make_fused_step_autoreset(
     return step_fn
 
 
+def make_fused_rollout(
+    config: PushingConfig, params: PushingParams, interpret: bool = False, cand_k: int = 32
+):
+    """Plane-form K-step fused rollout for pushing — the primary benchmark
+    family (BASELINE.json).  Same design as ``planning.make_fused_rollout``:
+    the env state stays in the kernel's plane layout across a ``lax.scan``
+    (one pack/unpack per rollout instead of per step, removing the fixed
+    ~30 µs/step of XLA glue), actions precomputed (random/offline policies).
+
+    Returns ``rollout(state, actions[T, B, 2], seed) -> (final PushingState,
+    rewards [T, B], terminated [T, B], truncated [T, B])`` with the
+    reference's reward/termination semantics
+    (benchmark_pushing_env.py:457-527); episode restarts run in-kernel.
+    """
+    from gymnasium_planar_robotics_tpu.ops import pallas_step
+
+    assert np.asarray(params.v_max).dtype == np.float32, 'f64 parity mode has no fused kernel'
+    fused = pallas_step.make_fused_pushing_autoreset_cycles(
+        config, params, interpret=interpret, cand_k=cand_k
+    )
+    raw = fused.raw_planes
+    limit = params.j_max if config.learn_jerk else params.a_max
+    thr = float(np.asarray(params.threshold_pos))
+    max_steps = float(config.max_episode_steps)
+
+    def rollout(state: PushingState, actions: jnp.ndarray, seed):
+        b = state.pos.shape[0]
+        assert b % 128 == 0, 'plane-form rollout needs a 128-multiple batch'
+        rows = b // 128
+        dtype = state.pos.dtype
+        actions = jnp.clip(jnp.asarray(actions, jnp.float32).reshape(-1, b, 2), -limit, limit)
+
+        def plane(x, comp):
+            return x.reshape(b, 2)[:, comp].reshape(rows, 128).astype(jnp.float32)
+
+        def scalar_plane(x):
+            return x.astype(jnp.float32).reshape(rows, 128)
+
+        planes0 = []
+        for arr in (state.pos, state.vel, state.acc, state.act, state.obj_pos, state.obj_vel):
+            planes0 += [plane(arr, 0), plane(arr, 1)]
+        planes0 += [scalar_plane(state.obj_yaw), scalar_plane(state.obj_w),
+                    scalar_plane(state.mover_z), scalar_plane(state.mover_vz),
+                    plane(state.goal, 0), plane(state.goal, 1), scalar_plane(state.steps)]
+        planes0 = tuple(planes0)
+        action_planes = actions.reshape(-1, b, 2).transpose(0, 2, 1).reshape(-1, 2, rows, 128)
+
+        def body(carry, a_t):
+            planes, t = carry
+            outs = raw(planes, (a_t[0], a_t[1]), seed + t)
+            new_planes = tuple(outs[:19])
+            wall = outs[33]
+            # reference scoring from the pre-reset ('final') observation:
+            # achieved (outs 29/30) vs the OLD goal (carried planes 16/17)
+            ddx = outs[29] - planes[16]
+            ddy = outs[30] - planes[17]
+            reached = jnp.sqrt(ddx * ddx + ddy * ddy) <= thr
+            reward = jnp.where(wall > 0.5, REWARD_WALL_COLLISION,
+                               jnp.where(reached, 0.0, -1.0))
+            trunc = jnp.where(planes[18] + 1.0 >= max_steps, 1.0, 0.0)
+            return (new_planes, t + 1), (reward, wall, trunc)
+
+        (planes, _), (rew, term, trunc) = jax.lax.scan(
+            body, (planes0, jnp.asarray(0, jnp.int32)), action_planes
+        )
+
+        def pair(i):
+            return jnp.stack([planes[i].reshape(b), planes[i + 1].reshape(b)], -1).astype(dtype)
+
+        def scalar(i):
+            return planes[i].reshape(b).astype(dtype)
+
+        final = PushingState(
+            pos=pair(0), vel=pair(2), acc=pair(4), act=pair(6),
+            obj_pos=pair(8), obj_vel=pair(10), obj_yaw=scalar(12), obj_w=scalar(13),
+            mover_z=scalar(14), mover_vz=scalar(15), goal=pair(16),
+            key=jax.vmap(lambda k: jax.random.split(k, 1)[0])(state.key),
+            steps=planes[18].reshape(b).astype(jnp.int32),
+        )
+        T = rew.shape[0]
+        return (final, rew.reshape(T, b).astype(dtype),
+                term.reshape(T, b) > 0.5, trunc.reshape(T, b) > 0.5)
+
+    return rollout
+
+
 def step_autoreset(config: PushingConfig, params: PushingParams, state: PushingState, action):
     """Step + in-graph episode restart on termination/truncation.  The
     pre-reset observation is surfaced as ``info['final_observation']`` and a

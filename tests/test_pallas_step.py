@@ -320,6 +320,45 @@ def test_fused_rollout_matches_per_step_path():
     assert rew.shape == (T, b) and te.shape == (T, b) and tr.shape == (T, b)
 
 
+def test_fused_pushing_rollout_matches_per_step_path():
+    """Pushing plane-form rollout: at std=0 the scanned plane-carry path must
+    match the per-step fused path on every env that never restarted (same
+    contract as the planning rollout; contact-coupled values at FMA/ulp
+    tolerance)."""
+    import dataclasses
+
+    from gymnasium_planar_robotics_tpu.models import pushing
+
+    config, params = _mk_push(std=0.0)
+    roll = pushing.make_fused_rollout(config, params, interpret=True, cand_k=2)
+    step = pushing.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True, cand_k=2)
+    b, T = 128, 3
+    state, obs, _ = pushing.init_batch(config, params, jax.random.PRNGKey(81), b)
+    state = dataclasses.replace(
+        state,
+        pos=state.obj_pos + jnp.asarray([-0.115, 0.0], jnp.float32),
+        vel=jnp.tile(jnp.asarray([0.3, 0.0], jnp.float32), (b, 1)),
+    )
+    acts = jnp.tile(jnp.asarray([1.5, 0.2], jnp.float32), (T, b, 1))
+
+    fs, rew, te, tr = roll(state, acts, 7)
+    s2, done = state, np.zeros(b, bool)
+    for t in range(T):
+        u = _uniforms(jax.random.PRNGKey(200 + t), step.noise_planes, b)
+        s2, o2, r2, te2, tr2, i2 = step(s2, acts[t], noise=u)
+        done |= np.asarray(te2) | np.asarray(tr2)
+    live = ~done & ~np.asarray(te).any(0) & ~np.asarray(tr).any(0)
+    assert live.sum() > 100, f'too many restarts: {live.sum()}'
+    tol = dict(rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(fs.pos)[live], np.asarray(s2.pos)[live], **tol)
+    np.testing.assert_allclose(np.asarray(fs.obj_pos)[live], np.asarray(s2.obj_pos)[live], **tol)
+    np.testing.assert_allclose(np.asarray(fs.mover_z)[live], np.asarray(s2.mover_z)[live], **tol)
+    # contact actually fired during the comparison
+    assert (np.abs(np.asarray(fs.obj_pos - state.obj_pos)[live]) > 1e-5).any()
+    assert rew.shape == (T, b)
+    assert set(np.unique(np.asarray(rew))) <= {0.0, -1.0, -50.0}
+
+
 # ---------------------------------------------------------------------------
 # noise machinery (injected-noise mode)
 # ---------------------------------------------------------------------------
