@@ -236,7 +236,7 @@ def bench_planning_fused(batch=BATCH, num_movers=1, layout=None, n_mesh_devices=
     return _best_rate(run_block, batch * ROLLOUT_T * TIMED_CALLS)
 
 
-def bench_planning_rollout(batch=BATCH, **env_kwargs):
+def bench_planning_rollout(batch=BATCH, num_movers=1, layout=None, **env_kwargs):
     """Plane-form K-step fused rollout (``planning.make_fused_rollout``):
     the env state stays in kernel plane layout across the scan, removing the
     ~30 µs/step of XLA pack/unpack glue the per-step path pays — the
@@ -245,16 +245,18 @@ def bench_planning_rollout(batch=BATCH, **env_kwargs):
     from gymnasium_planar_robotics_tpu.models import planning
 
     config, params = planning.make_planning_env(
-        layout_tiles=np.ones((3, 3)), num_movers=1, std_noise=1e-5, dtype=jnp.float32, **env_kwargs,
+        layout_tiles=np.ones((3, 3)) if layout is None else layout,
+        num_movers=num_movers, std_noise=1e-5, dtype=jnp.float32, **env_kwargs,
     )
     state, obs, _ = jax.block_until_ready(planning.init_batch(config, params, jax.random.PRNGKey(0), batch))
     roll_fn = planning.make_fused_rollout(config, params)
     a_lim = float(np.asarray(params.j_max if config.learn_jerk else params.a_max))
+    adim = num_movers * 2
 
     @jax.jit
     def roll(state, key, seed):
         key, sub = jax.random.split(key)
-        acts = jax.random.uniform(sub, (ROLLOUT_T, batch, 2), jnp.float32, -a_lim, a_lim)
+        acts = jax.random.uniform(sub, (ROLLOUT_T, batch, adim), jnp.float32, -a_lim, a_lim)
         s, rew, te, tr = roll_fn(state, acts, seed)
         return s, key, rew.mean()
 
@@ -417,6 +419,8 @@ def main() -> None:
              bench_planning_fused(4096, collision_params={'shape': 'box', 'size': np.array([0.09, 0.09])}), REF_PLANNING_1),
             ('planning 4-mover 256 envs (pallas fused)', bench_planning_fused(256, 4, np.ones((4, 4))), REF_PLANNING_4),
             ('planning 4-mover 4096 envs (pallas fused)', bench_planning_fused(4096, 4, np.ones((4, 4))), REF_PLANNING_4),
+            ('planning 4-mover 4096 envs (plane-form fused rollout)',
+             bench_planning_rollout(4096, 4, np.ones((4, 4))), REF_PLANNING_4),
             ('planning 4-mover box-shape 4096 envs (pallas fused)',
              bench_planning_fused(4096, 4, np.ones((4, 4)),
                                   collision_params={'shape': 'box', 'size': np.array([0.09, 0.09])}), REF_PLANNING_4),

@@ -882,8 +882,11 @@ def make_fused_rollout(
     """
     from gymnasium_planar_robotics_tpu.ops import pallas_step
 
-    assert pallas_step.supports(config, params), 'config has no single-mover fused kernel'
     assert config.reward_mode == 'sparse', 'fused rollout computes the sparse reward in-plane'
+    if config.num_movers > 1:
+        assert np.asarray(params.v_max).dtype == np.float32, 'f64 parity mode has no fused kernel'
+        return _make_fused_rollout_multi(config, params, interpret=interpret, cand_k=cand_k)
+    assert pallas_step.supports(config, params), 'config has no single-mover fused kernel'
     fused = pallas_step.make_fused_planning_autoreset_cycles(
         config, params, interpret=interpret, cand_k=cand_k
     )
@@ -940,6 +943,85 @@ def make_fused_rollout(
             goals=pair(6)[:, None, :],
             key=jax.vmap(lambda k: jax.random.split(k, 1)[0])(state.key),
             steps=planes[8].reshape(b).astype(jnp.int32),
+        )
+        T = rew.shape[0]
+        return (final, rew.reshape(T, b).astype(dtype),
+                term.reshape(T, b) > 0.5, trunc.reshape(T, b) > 0.5)
+
+    return rollout
+
+
+def _make_fused_rollout_multi(config, params, interpret: bool = False, cand_k: int = 16):
+    """M-mover variant of ``make_fused_rollout`` over the row-blocked
+    multi-mover kernel (shared-fate collisions, joint start/goal set
+    resampling in-kernel)."""
+    from gymnasium_planar_robotics_tpu.ops import pallas_step
+
+    m = config.num_movers
+    fused = pallas_step.make_fused_planning_multi_autoreset_cycles(
+        config, params, interpret=interpret, cand_k=cand_k
+    )
+    raw = fused.raw_planes
+    limit = params.j_max if config.learn_jerk else params.a_max
+    scale_vec = np.asarray(params.accel_scale, np.float64).reshape(-1)
+    max_steps = float(config.max_episode_steps)
+
+    def rollout(state: PlanningState, actions: jnp.ndarray, seed):
+        b = state.pos.shape[0]
+        assert b % 128 == 0, 'plane-form rollout needs a 128-multiple batch'
+        rows = b // 128
+        dtype = state.pos.dtype
+        actions = jnp.clip(jnp.asarray(actions, jnp.float32).reshape(-1, b, m, 2), -limit, limit)
+
+        def planes_of(x):  # [B, M, 2] -> interleaved per-mover planes
+            flat = x.reshape(b, m, 2)
+            return [
+                flat[:, i, comp].reshape(rows, 128).astype(jnp.float32)
+                for i in range(m)
+                for comp in (0, 1)
+            ]
+
+        a_in = state.act if config.learn_jerk else state.acc
+        planes0 = tuple(
+            planes_of(state.pos) + planes_of(state.vel) + planes_of(a_in) + planes_of(state.goals)
+            + [state.steps.astype(jnp.float32).reshape(rows, 128)]
+        )
+        # [T, B, M, 2] -> [T, 2m, rows, 128] (mover-major, component-minor —
+        # matching planes_of's interleaving)
+        action_planes = actions.transpose(0, 2, 3, 1).reshape(-1, 2 * m, rows, 128)
+
+        def body(carry, a_t):
+            planes, t = carry
+            outs = raw(planes, tuple(a_t[i] for i in range(2 * m)), seed + t)
+            new_planes = tuple(outs[: 8 * m + 1])
+            wall = outs[18 * m + 1]
+            mover = outs[18 * m + 2]
+            unreached = outs[18 * m + 3]
+            collided = jnp.maximum(wall, mover) > 0.5
+            reward = jnp.where(collided, -REWARD_SUCCESS,
+                               jnp.where(unreached == 0.0, REWARD_SUCCESS, -unreached))
+            term = collided | (unreached == 0.0)
+            trunc = jnp.where(planes[8 * m] + 1.0 >= max_steps, 1.0, 0.0)
+            return (new_planes, t + 1), (reward, jnp.where(term, 1.0, 0.0), trunc)
+
+        (planes, _), (rew, term, trunc) = jax.lax.scan(
+            body, (planes0, jnp.asarray(0, jnp.int32)), action_planes
+        )
+
+        def block(i0):  # 2m planes -> [B, M, 2]
+            return jnp.stack(
+                [jnp.stack([planes[i0 + 2 * i].reshape(b), planes[i0 + 2 * i + 1].reshape(b)], -1)
+                 for i in range(m)], axis=1
+            ).astype(dtype)
+
+        act = block(4 * m)
+        acc = act * jnp.asarray(scale_vec, dtype)[None, :, None]
+        final = PlanningState(
+            pos=block(0), vel=block(2 * m), acc=acc,
+            act=act if config.learn_jerk else jnp.zeros_like(act),
+            goals=block(6 * m),
+            key=jax.vmap(lambda k: jax.random.split(k, 1)[0])(state.key),
+            steps=planes[8 * m].reshape(b).astype(jnp.int32),
         )
         T = rew.shape[0]
         return (final, rew.reshape(T, b).astype(dtype),

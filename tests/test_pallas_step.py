@@ -320,6 +320,31 @@ def test_fused_rollout_matches_per_step_path():
     assert rew.shape == (T, b) and te.shape == (T, b) and tr.shape == (T, b)
 
 
+def test_fused_rollout_multi_mover_matches_per_step_path():
+    """M=2 plane-form rollout over the row-blocked multi kernel: bit-match
+    on never-reset envs, shared-fate semantics intact."""
+    config, params = planning.make_planning_env(
+        np.ones((4, 4)), 2, std_noise=0.0, num_cycles=8, dtype=jnp.float32
+    )
+    roll = planning.make_fused_rollout(config, params, interpret=True, cand_k=2)
+    step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True, cand_k=2)
+    b, T = 128, 3
+    state, obs, _ = planning.init_batch(config, params, jax.random.PRNGKey(91), b)
+    acts = jax.random.uniform(jax.random.PRNGKey(92), (T, b, 4), jnp.float32, -0.5, 0.5)
+
+    fs, rew, te, tr = roll(state, acts, 9)
+    s2, done = state, np.zeros(b, bool)
+    for t in range(T):
+        u = _uniforms(jax.random.PRNGKey(300 + t), step.noise_planes, b)
+        s2, o2, r2, te2, tr2, i2 = step(s2, acts[t], noise=u)
+        done |= np.asarray(te2) | np.asarray(tr2)
+    live = ~done & ~np.asarray(te).any(0) & ~np.asarray(tr).any(0)
+    assert live.sum() > 60, live.sum()
+    np.testing.assert_array_equal(np.asarray(fs.pos)[live], np.asarray(s2.pos)[live])
+    np.testing.assert_array_equal(np.asarray(fs.vel)[live], np.asarray(s2.vel)[live])
+    assert rew.shape == (T, b)
+
+
 def test_fused_pushing_rollout_matches_per_step_path():
     """Pushing plane-form rollout: at std=0 the scanned plane-carry path must
     match the per-step fused path on every env that never restarted (same
