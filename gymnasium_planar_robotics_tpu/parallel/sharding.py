@@ -130,6 +130,41 @@ def make_sharded_fused_step(
     return step
 
 
+def make_sharded_fused_rollout(
+    model, config, params, mesh: Mesh, axis_name: str = DATA_AXIS, **fused_kw
+) -> Callable:
+    """The plane-form K-step fused rollout under ``jax.shard_map`` — the
+    round-4 headline path (``model.make_fused_rollout``) on a device mesh:
+    each device scans its local ``[B/D]`` shard's plane set with zero
+    cross-device communication; per-device hardware-PRNG streams are
+    decorrelated by an ``axis_index``-derived seed offset (deterministic per
+    (seed, mesh size)).
+
+    Constraints: ``B % (128 * mesh.size) == 0`` (the raw plane path does not
+    lane-pad).  Returns ``rollout(state, actions[T, B, A], seed) ->
+    (final state, rewards [T, B], terminated [T, B], truncated [T, B])``;
+    jit it with the batch axes sharded on ``axis_name``.
+    """
+    roll = model.make_fused_rollout(config, params, **fused_kw)
+
+    def local(state, actions, seed):
+        dev = jax.lax.axis_index(axis_name)
+        return roll(state, actions, seed + dev * jnp.int32(1 << 20))
+
+    spec = P(axis_name)
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, P(None, axis_name), P()),
+        out_specs=(spec, P(None, axis_name), P(None, axis_name), P(None, axis_name)),
+        check_vma=False,
+    )
+
+    def rollout(state, actions, seed):
+        return sharded(state, actions, jnp.asarray(seed, jnp.int32))
+
+    return rollout
+
+
 def metrics_summary(reward: jax.Array, terminated: jax.Array, info: dict) -> dict[str, jax.Array]:
     """Replicated scalar metrics from sharded per-env arrays.
 

@@ -237,3 +237,36 @@ def test_jit_rollout_sharded(env):
     assert np.isfinite(np.asarray(metrics['reward_mean'])).all()
     # autoreset keeps every env inside the table
     assert (np.asarray(s.pos) >= 0).all()
+
+
+def test_sharded_fused_rollout_runs_and_stays_sharded():
+    """Plane-form K-step rollout under shard_map (round-4 headline path on a
+    mesh): executes on an 8-device mesh with per-device PRNG decorrelation,
+    deterministic per seed, batch sharding preserved end to end."""
+    import jax.numpy as jnp
+
+    from gymnasium_planar_robotics_tpu.models import planning
+    from gymnasium_planar_robotics_tpu.parallel import sharding
+
+    config, params = planning.make_planning_env(
+        np.ones((3, 3)), 1, std_noise=1e-5, num_cycles=4, dtype=jnp.float32
+    )
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    B, T = 8 * 128, 3
+    state, obs, _ = planning.init_batch(config, params, jax.random.PRNGKey(0), B)
+    state = sharding.shard_batch(state, mesh)
+    roll = sharding.make_sharded_fused_rollout(
+        planning, config, params, mesh, interpret=True, cand_k=2
+    )
+    acts = jax.random.uniform(jax.random.PRNGKey(1), (T, B, 2), jnp.float32, -2.0, 2.0)
+    sh = sharding.batch_sharding(mesh)
+    rj = jax.jit(roll, in_shardings=(sh, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, 'data')), None))
+
+    fs, rew, te, tr = rj(state, acts, 7)
+    assert rew.shape == (T, B) and np.isfinite(np.asarray(rew)).all()
+    assert fs.pos.sharding.is_equivalent_to(sh, fs.pos.ndim), 'rollout lost the batch sharding'
+    assert len(fs.pos.addressable_shards) == 8
+    # deterministic per seed
+    fs2, rew2, te2, tr2 = rj(state, acts, 7)
+    np.testing.assert_array_equal(np.asarray(rew), np.asarray(rew2))
+    np.testing.assert_array_equal(np.asarray(fs.pos), np.asarray(fs2.pos))
