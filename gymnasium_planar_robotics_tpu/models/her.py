@@ -178,10 +178,11 @@ def make_train_step(
     env_config,
     env_params,
     cfg: HERConfig,
-    step_autoreset_fn: Callable,
+    step_autoreset_fn: Callable | None,
     compute_reward_fn: Callable,
     terminated_fn: Callable,
     vec_fn: Callable | None = None,
+    batched_step_fn: Callable | None = None,
 ):
     """Build ``train_step(runner) -> (runner, metrics)``.
 
@@ -193,10 +194,21 @@ def make_train_step(
     plain concat network input — policy-internal featurization (e.g. the
     relative object/goal offsets pushing needs); it must be a pure function of
     the obs dict so the trained policy transfers to any engine serving the
-    same observations.  ``cfg.obs_dim + 2*cfg.goal_dim`` must equal D."""
+    same observations.  ``cfg.obs_dim + 2*cfg.goal_dim`` must equal D.
+
+    Pass EITHER ``step_autoreset_fn`` (a per-env step, vmapped here) or
+    ``batched_step_fn(state, action)`` — an already-batched step such as the
+    fused Pallas kernel or its shard_mapped form
+    (``parallel/sharding.make_sharded_fused_step``), which lets the HER
+    rollout run at the fused rate (same contract as ``ppo.make_train_step``)."""
     actor_opt = optax.adam(cfg.actor_lr)
     critic_opt = optax.adam(cfg.critic_lr)
-    batched_env_step = jax.vmap(step_autoreset_fn, in_axes=(None, None, 0, 0))
+    if batched_step_fn is not None:
+        def batched_env_step(_config, _params, state, action):
+            return batched_step_fn(state, action)
+    else:
+        assert step_autoreset_fn is not None, 'pass step_autoreset_fn or batched_step_fn'
+        batched_env_step = jax.vmap(step_autoreset_fn, in_axes=(None, None, 0, 0))
 
     if vec_fn is not None:
         vec = vec_fn

@@ -104,3 +104,32 @@ def test_her_lifts_sparse_success_rate():
     assert late > late_no + 0.10, (
         f'relabeling made no difference: HER {late:.3f} vs no-HER {late_no:.3f}'
     )
+
+
+def test_her_train_step_accepts_fused_batched_step():
+    """HER's batched_step_fn contract (parity with ppo.make_train_step): one
+    train iteration over the fused Pallas step (interpret mode) runs, returns
+    finite losses, and advances the env state."""
+    config, params = planning.make_planning_env(
+        np.ones((3, 3)), 1, std_noise=1e-5, num_cycles=4, dtype=jnp.float32, a_max=3.0
+    )
+    fused = planning.make_fused_step_autoreset(config, params, interpret=True, cand_k=2)
+    cfg = her.HERConfig(
+        obs_dim=2, goal_dim=2, action_dim=2, hidden=(16, 16), action_scale=3.0,
+        rollout_steps=3, update_steps=2, replay_size=4096, minibatch=256,
+    )
+    pol = her.init_params(jax.random.PRNGKey(0), cfg)
+    train_step, (a_opt, c_opt) = her.make_train_step(
+        config, params, cfg, None,
+        lambda ach, des, mc, wc: planning.compute_reward(config, params, ach, des, mc, wc),
+        lambda r: jnp.abs(r) == 50.0,
+        batched_step_fn=fused,
+    )
+    B = 128
+    state, obs, _ = planning.init_batch(config, params, jax.random.PRNGKey(1), B)
+    runner = (state, obs, pol, a_opt.init(pol['actor']), c_opt.init(pol['critic']),
+              her.init_replay(cfg), jax.random.PRNGKey(2))
+    runner, m = train_step(runner)
+    assert np.isfinite(float(m['critic_loss'])) and np.isfinite(float(m['actor_loss']))
+    assert int(runner[5]['filled']) == 2 * cfg.rollout_steps * B  # originals + relabeled
+    assert (np.asarray(runner[0].steps) > 0).any()
