@@ -120,6 +120,8 @@ def box_push_contact_v2(
     sticky_axis: jnp.ndarray | None = None,
     cone_zeta: jnp.ndarray | float = 0.0,
     cone_vt: jnp.ndarray | float = 0.05,
+    cone_vt_hi: jnp.ndarray | float = 1e9,
+    cone_vt_off: jnp.ndarray | float = 2e9,
 ) -> ContactForcesV2:
     """Corner-aware planar box-box penalty contact with object yaw.
 
@@ -230,7 +232,16 @@ def box_push_contact_v2(
     # slip speed (|vt|/cone_vt, saturating at 1) so quasi-static
     # velocity-matched face pushes keep a horizontal face-face normal.
     f_imp = jnp.minimum(jnp.maximum(0.0, -b_n * vn), f_n_mag)
-    slip = jnp.minimum(jnp.abs(vt) / cone_vt, 1.0)
+    # BAND-PASS slip gate: ramps in over cone_vt, ramps OUT between
+    # cone_vt_hi and cone_vt_off.  Measured (both engines): gentle capture
+    # slides at |vt| ~ 0.08 m/s median while strong diagonal rides slip at
+    # 0.4-1.3 m/s — at high slip MuJoCo's impact train carries the object
+    # along (big bursts, low contact duty) instead of pinning it, so the
+    # vertical share must fade there or strong pushes under-transmit.
+    avt = jnp.abs(vt)
+    slip = jnp.minimum(avt / cone_vt, 1.0) * jnp.clip(
+        (cone_vt_off - avt) / (cone_vt_off - cone_vt_hi), 0.0, 1.0
+    )
     f_z = cone_zeta * f_n_mag * slip
     budget = mu * f_n_mag
     cap = jnp.where(f_z > 0, jnp.sqrt(jnp.maximum(budget * budget - f_z * f_z, 0.0)), budget)

@@ -114,11 +114,13 @@ CONTACT_SCENARIOS = {
     # CALIBRATION.md) fixed the 50-step gentle-diagonal regime
     # (283 mm -> 22 mm, ensemble p90 24.8 -> 21.4 mm) at the cost of these
     # three short strong pushes, where MuJoCo's impact bursts keep the object
-    # riding while the continuous model's slip-coupled floor load slows it.
+    # riding while the continuous model's slip-coupled floor load slows it;
+    # the band-pass slip gate (share fades above 0.4 m/s slip — the measured
+    # impact-ride regime) recovers about half of that residual.
     # The bounds pin the measured trade so regressions are visible.
-    'diagonal': ([0.24, 0.24], [0.34, 0.34], [[2.0, 2.0]] * 10, 0.115),
-    'diag_fast': ([0.22, 0.22], [0.345, 0.345], [[4.0, 4.0]] * 8, 0.170),
-    'diag_asym': ([0.24, 0.26], [0.35, 0.345], [[2.5, 2.0]] * 10, 0.135),
+    'diagonal': ([0.24, 0.24], [0.34, 0.34], [[2.0, 2.0]] * 10, 0.080),
+    'diag_fast': ([0.22, 0.22], [0.345, 0.345], [[4.0, 4.0]] * 8, 0.085),
+    'diag_asym': ([0.24, 0.26], [0.35, 0.345], [[2.5, 2.0]] * 10, 0.100),
     'corner_skim': ([0.24, 0.30], [0.355, 0.405], [[3.0, 0.5]] * 10, 0.012),
     'push_turn': ([0.24, 0.36], [0.4005, 0.36], [[3.0, 0.0]] * 5 + [[0.0, 3.0]] * 5, 0.012),
     'offcenter_big': ([0.24, 0.395], [0.36, 0.475], [[3.5, 0.0]] * 10, 0.010),
