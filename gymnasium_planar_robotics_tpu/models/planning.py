@@ -861,8 +861,48 @@ def autoreset_select(done, stepped_state, reset_state, carry_key):
     return dataclasses.replace(kept, key=jnp.where(done, reset_state.key, carry_key))
 
 
+def _chunked_rollout(raw_rollout, planes0, action_planes, seed, K: int, reward_from):
+    """Drive an in-kernel K-step rollout over ``T`` total steps: a
+    ``lax.scan`` over ``T // K`` chunks (plus one tail launch for ``T % K``)
+    carrying kernel-layout state planes.  ``raw_rollout(K)`` builds the
+    chunk invocation (pallas_step.make_fused_*_autoreset_cycles.raw_rollout);
+    ``reward_from(wall, reached, trunc)`` maps the per-step signal planes
+    ``[T, rows, LANES]`` to (reward, term, trunc).  Shared by the planning
+    and pushing rollout wrappers."""
+    T = action_planes.shape[0]
+    n_chunks, tail = divmod(T, K)
+    seed = jnp.asarray(seed, jnp.int32)
+    parts = []
+    planes = planes0
+    if n_chunks:
+        run_k = raw_rollout(K)
+        main = action_planes[: n_chunks * K].reshape((n_chunks, K) + action_planes.shape[1:])
+
+        def body(carry, x):
+            planes, c = carry
+            *st, wall, reached, trunc = run_k(planes, (x[:, 0], x[:, 1]), seed + c)
+            return (tuple(st), c + 1), (wall, reached, trunc)
+
+        (planes, _), (w, r, tr) = jax.lax.scan(
+            body, (planes, jnp.asarray(0, jnp.int32)), main
+        )
+        parts.append(tuple(a.reshape((n_chunks * K,) + a.shape[2:]) for a in (w, r, tr)))
+    if tail:
+        x = action_planes[n_chunks * K:]
+        *st, w, r, tr = raw_rollout(tail)(planes, (x[:, 0], x[:, 1]), seed + n_chunks)
+        planes = tuple(st)
+        parts.append((w, r, tr))
+    wall, reached, trunc = (
+        parts[0] if len(parts) == 1
+        else tuple(jnp.concatenate(a) for a in zip(*parts))
+    )
+    rew, term, trunc = reward_from(wall, reached, trunc)
+    return planes, rew, term, trunc
+
+
 def make_fused_rollout(
-    config: PlanningConfig, params: PlanningParams, interpret: bool = False, cand_k: int = 16
+    config: PlanningConfig, params: PlanningParams, interpret: bool = False, cand_k: int = 16,
+    steps_per_launch: int = 1,
 ):
     """Plane-form K-step fused rollout for the glue-bound SMALL-BATCH regime
     (round-3 VERDICT #5).
@@ -874,11 +914,22 @@ def make_fused_rollout(
     a pre-computed action tensor (random/offline policies; a reactive policy
     needs the per-step API).
 
+    ``steps_per_launch > 1`` additionally runs that many complete autoreset
+    env steps inside ONE kernel launch
+    (``ops/pallas_step._planning_rollout_kernel`` — a ``fori_loop`` over the
+    exact per-step body), scanning over ``T / steps_per_launch`` chunks.
+    Measured on v5e (tunnel, bench.py protocol): within noise at 256 envs
+    (+5%) and ~13% SLOWER at 4096 envs (the in-kernel dynamic-indexed action
+    reads / signal stores cost more than the ~0.3 µs in-graph launch they
+    replace — launches inside a jitted scan were never the bottleneck), so
+    the default stays 1; the knob exists for hosts where per-launch dispatch
+    is a real cost.
+
     Returns ``rollout(state, actions[T, B, 2], seed) -> (final PlanningState,
     rewards [T, B], terminated [T, B], truncated [T, B])``.  Sparse rewards;
     single-mover in-kernel configs only (``pallas_step.supports``); episode
     restarts run in-kernel exactly as the per-step path.  Randomness comes
-    from the on-core hardware PRNG seeded ``seed + t`` per step.
+    from the on-core hardware PRNG seeded per launch per row-block.
     """
     from gymnasium_planar_robotics_tpu.ops import pallas_step
 
@@ -912,25 +963,32 @@ def make_fused_rollout(
              state.steps.astype(jnp.float32).reshape(rows, 128)]
         )
         action_planes = actions.reshape(-1, b, 2).transpose(0, 2, 1).reshape(-1, 2, rows, 128)
+        T = action_planes.shape[0]
 
-        def body(carry, x):
-            planes, t = carry
-            a_t = x  # [2, rows, 128]
-            outs = raw(planes, (a_t[0], a_t[1]), seed + t)
-            new_planes = tuple(outs[:9])
-            wall = outs[19]
-            reached = outs[20]
+        def reward_from(wall, reached, trunc):
             # sparse single-mover reward (step_autoreset semantics): -50 on
             # wall, +50 all-reached, else -(#unreached) = -1
-            reward = jnp.where(wall > 0.5, -REWARD_SUCCESS,
-                               jnp.where(reached > 0.5, REWARD_SUCCESS, -1.0))
-            term = jnp.maximum(wall, reached)
-            trunc = jnp.where(planes[8] + 1.0 >= max_steps, 1.0, 0.0)
-            return (new_planes, t + 1), (reward, term, trunc)
+            rew = jnp.where(wall > 0.5, -REWARD_SUCCESS,
+                            jnp.where(reached > 0.5, REWARD_SUCCESS, -1.0))
+            return rew, jnp.maximum(wall, reached), trunc
 
-        (planes, _), (rew, term, trunc) = jax.lax.scan(
-            body, (planes0, jnp.asarray(0, jnp.int32)), action_planes
-        )
+        if steps_per_launch > 1:
+            planes, rew, term, trunc = _chunked_rollout(
+                fused.raw_rollout, planes0, action_planes, seed,
+                min(steps_per_launch, T), reward_from,
+            )
+        else:
+            def body(carry, x):
+                planes, t = carry
+                a_t = x  # [2, rows, 128]
+                outs = raw(planes, (a_t[0], a_t[1]), seed + t)
+                new_planes = tuple(outs[:9])
+                trunc_t = jnp.where(planes[8] + 1.0 >= max_steps, 1.0, 0.0)
+                return (new_planes, t + 1), reward_from(outs[19], outs[20], trunc_t)
+
+            (planes, _), (rew, term, trunc) = jax.lax.scan(
+                body, (planes0, jnp.asarray(0, jnp.int32)), action_planes
+            )
 
         def pair(i):
             return jnp.stack([planes[i].reshape(b), planes[i + 1].reshape(b)], -1).astype(dtype)

@@ -671,7 +671,8 @@ def make_fused_step_autoreset(
 
 
 def make_fused_rollout(
-    config: PushingConfig, params: PushingParams, interpret: bool = False, cand_k: int = 32
+    config: PushingConfig, params: PushingParams, interpret: bool = False, cand_k: int = 32,
+    steps_per_launch: int = 1,
 ):
     """Plane-form K-step fused rollout for pushing — the primary benchmark
     family (BASELINE.json).  Same design as ``planning.make_fused_rollout``:
@@ -679,11 +680,17 @@ def make_fused_rollout(
     (one pack/unpack per rollout instead of per step, removing the fixed
     ~30 µs/step of XLA glue), actions precomputed (random/offline policies).
 
+    ``steps_per_launch > 1`` runs that many complete autoreset env steps
+    inside ONE kernel launch (``ops/pallas_step._pushing_rollout_kernel``);
+    measured perf-neutral on v5e (in-graph launches cost ~0.3 µs — see
+    ``planning.make_fused_rollout``), so the default stays 1.
+
     Returns ``rollout(state, actions[T, B, 2], seed) -> (final PushingState,
     rewards [T, B], terminated [T, B], truncated [T, B])`` with the
     reference's reward/termination semantics
     (benchmark_pushing_env.py:457-527); episode restarts run in-kernel.
     """
+    from gymnasium_planar_robotics_tpu.models.planning import _chunked_rollout
     from gymnasium_planar_robotics_tpu.ops import pallas_step
 
     assert np.asarray(params.v_max).dtype == np.float32, 'f64 parity mode has no fused kernel'
@@ -716,25 +723,35 @@ def make_fused_rollout(
                     plane(state.goal, 0), plane(state.goal, 1), scalar_plane(state.steps)]
         planes0 = tuple(planes0)
         action_planes = actions.reshape(-1, b, 2).transpose(0, 2, 1).reshape(-1, 2, rows, 128)
+        T = action_planes.shape[0]
 
-        def body(carry, a_t):
-            planes, t = carry
-            outs = raw(planes, (a_t[0], a_t[1]), seed + t)
-            new_planes = tuple(outs[:19])
-            wall = outs[33]
-            # reference scoring from the pre-reset ('final') observation:
-            # achieved (outs 29/30) vs the OLD goal (carried planes 16/17)
-            ddx = outs[29] - planes[16]
-            ddy = outs[30] - planes[17]
-            reached = jnp.sqrt(ddx * ddx + ddy * ddy) <= thr
-            reward = jnp.where(wall > 0.5, REWARD_WALL_COLLISION,
-                               jnp.where(reached, 0.0, -1.0))
-            trunc = jnp.where(planes[18] + 1.0 >= max_steps, 1.0, 0.0)
-            return (new_planes, t + 1), (reward, wall, trunc)
+        def reward_from(wall, reached, trunc):
+            rew = jnp.where(wall > 0.5, REWARD_WALL_COLLISION,
+                            jnp.where(reached > 0.5, 0.0, -1.0))
+            return rew, wall, trunc
 
-        (planes, _), (rew, term, trunc) = jax.lax.scan(
-            body, (planes0, jnp.asarray(0, jnp.int32)), action_planes
-        )
+        if steps_per_launch > 1:
+            planes, rew, term, trunc = _chunked_rollout(
+                fused.raw_rollout, planes0, action_planes, seed,
+                min(steps_per_launch, T), reward_from,
+            )
+        else:
+            def body(carry, a_t):
+                planes, t = carry
+                outs = raw(planes, (a_t[0], a_t[1]), seed + t)
+                new_planes = tuple(outs[:19])
+                wall = outs[33]
+                # reference scoring from the pre-reset ('final') observation:
+                # achieved (outs 29/30) vs the OLD goal (carried planes 16/17)
+                ddx = outs[29] - planes[16]
+                ddy = outs[30] - planes[17]
+                reached = jnp.where(jnp.sqrt(ddx * ddx + ddy * ddy) <= thr, 1.0, 0.0)
+                trunc_t = jnp.where(planes[18] + 1.0 >= max_steps, 1.0, 0.0)
+                return (new_planes, t + 1), reward_from(wall, reached, trunc_t)
+
+            (planes, _), (rew, term, trunc) = jax.lax.scan(
+                body, (planes0, jnp.asarray(0, jnp.int32)), action_planes
+            )
 
         def pair(i):
             return jnp.stack([planes[i].reshape(b), planes[i + 1].reshape(b)], -1).astype(dtype)

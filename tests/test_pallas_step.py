@@ -291,12 +291,17 @@ def test_lane_padding_multi_mover_matches_xla():
     np.testing.assert_array_equal(np.asarray(fi['mover_collision']), np.asarray(xi['mover_collision']))
 
 
-def test_fused_rollout_matches_per_step_path():
+@pytest.mark.parametrize('steps_per_launch', [1, 2])
+def test_fused_rollout_matches_per_step_path(steps_per_launch):
     """Plane-form K-step rollout (round-3 VERDICT #5): at std=0 the scanned
     plane-carry path must bit-match the per-step fused path on every env that
-    never restarted (restart draws use different PRNG streams by design)."""
+    never restarted (restart draws use different PRNG streams by design).
+    ``steps_per_launch=2`` drives the IN-KERNEL step loop
+    (_planning_rollout_kernel) over a chunk of 2 plus a tail launch of 1."""
     config, params = _mk(std=0.0, num_cycles=8)
-    roll = planning.make_fused_rollout(config, params, interpret=True, cand_k=2)
+    roll = planning.make_fused_rollout(
+        config, params, interpret=True, cand_k=2, steps_per_launch=steps_per_launch
+    )
     step = planning.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True, cand_k=2)
     b, T = 128, 4
     state = _random_states(config, params, b, seed=71)
@@ -345,17 +350,21 @@ def test_fused_rollout_multi_mover_matches_per_step_path():
     assert rew.shape == (T, b)
 
 
-def test_fused_pushing_rollout_matches_per_step_path():
+@pytest.mark.parametrize('steps_per_launch', [1, 2])
+def test_fused_pushing_rollout_matches_per_step_path(steps_per_launch):
     """Pushing plane-form rollout: at std=0 the scanned plane-carry path must
     match the per-step fused path on every env that never restarted (same
     contract as the planning rollout; contact-coupled values at FMA/ulp
-    tolerance)."""
+    tolerance).  ``steps_per_launch=2`` drives the in-kernel step loop
+    (_pushing_rollout_kernel) over a chunk of 2 plus a tail launch of 1."""
     import dataclasses
 
     from gymnasium_planar_robotics_tpu.models import pushing
 
     config, params = _mk_push(std=0.0)
-    roll = pushing.make_fused_rollout(config, params, interpret=True, cand_k=2)
+    roll = pushing.make_fused_rollout(
+        config, params, interpret=True, cand_k=2, steps_per_launch=steps_per_launch
+    )
     step = pushing.make_fused_step_autoreset(config, params, interpret=True, inject_noise=True, cand_k=2)
     b, T = 128, 3
     state, obs, _ = pushing.init_batch(config, params, jax.random.PRNGKey(81), b)
