@@ -50,6 +50,12 @@ class PushingConfig:
     max_reset_trials: int = 100
     max_episode_steps: int = 50
     num_movers: int = 1  # fixed in the reference (benchmark_pushing_env.py:196)
+    # 'sparse' = reference semantics (0 at goal / -1 per step / -50 wall,
+    # benchmark_pushing_env.py:499-527); 'dense' is a TRAINING AID for
+    # on-policy learners (potential-style shaping toward the push stand-off
+    # point; XLA step path only — the fused kernels stay sparse) — evaluate
+    # on 'sparse', the scoring the reference env applies
+    reward_mode: str = 'sparse'
 
 
 @jax.tree_util.register_dataclass
@@ -136,6 +142,7 @@ def make_pushing_env(
     threshold_pos: float = 0.05,
     dtype=jnp.float32,
     max_reset_trials: int = 100,
+    reward_mode: str = 'sparse',
 ) -> tuple[PushingConfig, PushingParams]:
     """Constructor mirroring the reference's kwargs (fixed 3x3 layout, 1 mover).
 
@@ -209,11 +216,13 @@ def make_pushing_env(
     # the fixed 3x3 table (benchmark_pushing_env.py:233, 252-254)
     hi = np.array([5 * tile_size[0] + tile_size[0] / 2, 5 * tile_size[1] + tile_size[1] / 2])
 
+    assert reward_mode in ('sparse', 'dense'), reward_mode
     config = PushingConfig(
         num_cycles=num_cycles,
         learn_jerk=learn_jerk,
         collision_shape=c_shape,
         max_reset_trials=max_reset_trials,
+        reward_mode=reward_mode,
     )
     obj_mass = 0.01
     # calibrated against reference trajectories (grid sweep over k, mu, bt,
@@ -494,8 +503,24 @@ def _step_core(config: PushingConfig, params: PushingParams, state: PushingState
     )
     obs = _get_obs(config, params, new_state, k_obs)
     info = _get_info(params, obs, wall)
-    reward = compute_reward(params, obs['achieved_goal'], obs['desired_goal'], wall)
-    terminated = reward == REWARD_WALL_COLLISION  # benchmark_pushing_env.py:474-476
+    if config.reward_mode == 'dense':
+        # training shaping (reward_mode docs on PushingConfig): object-to-goal
+        # distance plus an approach term that fades once the mover is at
+        # contact range (~0.105 m = mover half + object half-diagonal); once
+        # the object IS at the goal the approach term flips into a retreat
+        # bonus (back off instead of nudging it away — the scoring requires
+        # the object at the goal when the episode truncates,
+        # benchmark_pushing_env.py:457-476).  Terminal semantics unchanged.
+        d_og = jnp.linalg.norm(obj_pos - new_state.goal)
+        d_mo = jnp.linalg.norm(pos - obj_pos)
+        near = d_og <= params.threshold_pos
+        approach = -0.3 * jnp.maximum(d_mo - 0.105, 0.0)
+        retreat = 0.5 * jnp.minimum(d_mo, 0.15)
+        shaped = -d_og + jnp.where(near, retreat, approach)
+        reward = jnp.where(wall, REWARD_WALL_COLLISION, shaped).astype(obj_pos.dtype)
+    else:
+        reward = compute_reward(params, obs['achieved_goal'], obs['desired_goal'], wall)
+    terminated = wall  # benchmark_pushing_env.py:474-476
     truncated = jnp.asarray(False)
     return (new_state, obs, reward, terminated, truncated, info), cyc
 
@@ -558,6 +583,8 @@ def make_fused_step(
 
     from gymnasium_planar_robotics_tpu.ops import pallas_step
 
+    assert config.reward_mode == 'sparse', 'fused pushing paths compute the sparse reward in-plane'
+
     fused = pallas_step.make_fused_pushing_cycles(
         config, params, interpret=interpret, inject_noise=inject_noise
     )
@@ -606,6 +633,8 @@ def make_fused_step_autoreset(
     reset sampling leaves the env un-reset and reports
     ``info['reset_stalled']`` (retry next step)."""
     from gymnasium_planar_robotics_tpu.ops import pallas_step
+
+    assert config.reward_mode == 'sparse', 'fused pushing paths compute the sparse reward in-plane'
 
     fused = pallas_step.make_fused_pushing_autoreset_cycles(
         config, params, interpret=interpret, inject_noise=inject_noise, cand_k=cand_k
@@ -694,6 +723,7 @@ def make_fused_rollout(
     from gymnasium_planar_robotics_tpu.ops import pallas_step
 
     assert np.asarray(params.v_max).dtype == np.float32, 'f64 parity mode has no fused kernel'
+    assert config.reward_mode == 'sparse', 'fused pushing paths compute the sparse reward in-plane'
     fused = pallas_step.make_fused_pushing_autoreset_cycles(
         config, params, interpret=interpret, cand_k=cand_k
     )

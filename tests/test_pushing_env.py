@@ -380,6 +380,37 @@ def test_reward_goal_semantics():
     np.testing.assert_array_equal(np.asarray(rb), [0.0, -1.0])
 
 
+def test_dense_reward_mode_shaping():
+    """reward_mode='dense' (a TRAINING AID — the reference scoring stays
+    sparse): reward = -|obj-goal| - 0.3*relu(|mover-obj| - 0.105) away from
+    the goal, retreat-bonused at the goal, -50 on wall; terminal semantics
+    and state trajectory identical to the sparse mode."""
+    config_d, params_d = pushing.make_pushing_env(std_noise=0.0, dtype=jnp.float64, reward_mode='dense')
+    config_s, params_s = pushing.make_pushing_env(std_noise=0.0, dtype=jnp.float64)
+    state, _, _ = pushing.reset(
+        config_d, params_d, jax.random.PRNGKey(3),
+        mover_start_xy_pos=np.array([0.2, 0.2]), object_goal_xy_pos=np.array([0.55, 0.55]),
+    )
+    a = jnp.asarray([1.0, 0.5], jnp.float64)
+    ns, obs, rew, term, trunc, info = pushing.step(config_d, params_d, state, a)
+    d_og = float(jnp.linalg.norm(ns.obj_pos - ns.goal))
+    d_mo = float(jnp.linalg.norm(ns.pos - ns.obj_pos))
+    assert d_og > float(params_d.threshold_pos)  # away-from-goal branch
+    np.testing.assert_allclose(float(rew), -d_og - 0.3 * max(d_mo - 0.105, 0.0), rtol=1e-12)
+    assert not bool(term)
+    # same step under sparse: identical state, reference reward
+    ns_s, _, rew_s, term_s, _, _ = pushing.step(config_s, params_s, state, a)
+    np.testing.assert_array_equal(np.asarray(ns.pos), np.asarray(ns_s.pos))
+    np.testing.assert_array_equal(np.asarray(ns.obj_pos), np.asarray(ns_s.obj_pos))
+    assert float(rew_s) == -1.0 and bool(term) == bool(term_s)
+    # fused paths refuse the dense mode (they compute the sparse reward in-plane)
+    import pytest as _pytest
+
+    cfg32, par32 = pushing.make_pushing_env(std_noise=0.0, dtype=jnp.float32, reward_mode='dense')
+    with _pytest.raises(AssertionError):
+        pushing.make_fused_step_autoreset(cfg32, par32, interpret=True)
+
+
 def test_reset_respects_overrides_and_min_distance():
     config, params = pushing.make_pushing_env(dtype=jnp.float64)
     state, obs, info = pushing.reset(

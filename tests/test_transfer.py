@@ -39,6 +39,24 @@ def test_planning_policy_transfers_to_reference():
 
 @pytest.mark.slow
 @pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
+def test_pushing_ppo_policy_transfers_to_reference():
+    """PPO with dense shaping (the round-4 strongest pushing trainer,
+    ``pushing.reward_mode='dense'``): reduced budget, so the assertion is on
+    the engine-vs-reference GAP plus a did-it-learn floor (the full protocol
+    trains 12k iters x 2048 envs to ~26% strict success)."""
+    from gymnasium_planar_robotics_tpu.models import pushing
+
+    policy, (config, params) = transfer_eval.train_pushing_ppo(
+        iters=300, batch=256, seed=0, log=None
+    )
+    eng = transfer_eval.eval_in_engine(pushing, config, params, policy, 256, seed=100)
+    ref = transfer_eval.eval_in_reference('pushing', policy, 60, seed=100, log=None)
+    gap = abs(eng['success'] - ref['success'])
+    assert gap < 0.25, f'engine {eng["success"]:.3f} vs reference {ref["success"]:.3f}'
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not reference_available(), reason='reference repo not mounted')
 def test_pushing_scripted_policy_transfers_to_reference():
     """The scripted pursuit policy (contact-heavy, zero learner noise): its
     engine-vs-reference success gap isolates the pushing physics residual —
