@@ -15,7 +15,7 @@ Architecture (vs. the reference's MuJoCo + Python class stack):
 - ``utils/``    host-side rendering, STL mesh sizing, impedance-control API surface
 """
 
-__version__ = '0.3.0'
+__version__ = '0.5.0'
 
 from gymnasium_planar_robotics_tpu.envs.registration import register_gymnasium_envs
 
