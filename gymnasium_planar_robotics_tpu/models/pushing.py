@@ -109,6 +109,12 @@ class PushingParams:
     object_height: jax.Array  # full object height [m] (0.04)
     imp_k: jax.Array  # impedance translational stiffness (reference: 1.0)
     imp_d: jax.Array  # critical damping 2*sqrt(K*m) (impedance_control.py:43-47)
+    # wedge positive feedback (round 5, CALIBRATION.md): the vertical-share
+    # cap grows with the accumulated mover lift, so sustained gentle captures
+    # unlock the measured runaway climb while short strong pushes stay at the
+    # seed cap (the two regimes are indistinguishable in instantaneous state)
+    cone_fz_cap: jax.Array  # base cap [N] on the vertical share (wedge seed force)
+    cone_fz_slope: jax.Array  # cap growth per metre of accumulated mover lift [N/m]
 
 
 @jax.tree_util.register_dataclass
@@ -295,6 +301,11 @@ def make_pushing_env(
         object_height=jnp.asarray(0.04, dtype),
         imp_k=jnp.asarray(1.0, dtype),
         imp_d=jnp.asarray(2.0 * np.sqrt(1.0 * mover_mass), dtype),
+        # wedge-capped vertical share (round-5 joint sweep: strong 10-step
+        # suite 72-91 -> 11-17 mm with the 50-step suite, gentle 10-step
+        # suite, climb test and ensemble all held green — CALIBRATION.md)
+        cone_fz_cap=jnp.asarray(0.008, dtype),
+        cone_fz_slope=jnp.asarray(100.0, dtype),
     )
     return config, params
 
@@ -416,6 +427,13 @@ def _step_core(config: PushingConfig, params: PushingParams, state: PushingState
             params.contact_k, params.contact_b, params.contact_bt, params.contact_mu,
             sticky_axis=c_axis, cone_zeta=params.cone_zeta, cone_vt=params.cone_vt,
             cone_vt_hi=params.cone_vt_hi, cone_vt_off=params.cone_vt_off,
+            # wedge positive feedback: the vertical-share cap grows with the
+            # accumulated mover lift (the measured climb ACCELERATES,
+            # 0.5 -> 3 mm/step) — sustained gentle captures unlock the
+            # runaway climb while short strong pushes never accumulate
+            # enough lift to leave the seed cap (CALIBRATION.md round 5)
+            fz_cap=params.cone_fz_cap
+            + params.cone_fz_slope * jnp.maximum(mz - params.initial_zpos, 0.0),
         )
         # quasi-3D: the contact only acts over the z-overlap of the mover's
         # side face [mz, mz + H_m] with the object's [0, H_o]; as the mover

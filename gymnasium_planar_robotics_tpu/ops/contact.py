@@ -122,6 +122,7 @@ def box_push_contact_v2(
     cone_vt: jnp.ndarray | float = 0.05,
     cone_vt_hi: jnp.ndarray | float = 1e9,
     cone_vt_off: jnp.ndarray | float = 2e9,
+    fz_cap: jnp.ndarray | float = 1e9,
 ) -> ContactForcesV2:
     """Corner-aware planar box-box penalty contact with object yaw.
 
@@ -242,7 +243,27 @@ def box_push_contact_v2(
     slip = jnp.minimum(avt / cone_vt, 1.0) * jnp.clip(
         (cone_vt_off - avt) / (cone_vt_off - cone_vt_hi), 0.0, 1.0
     )
-    f_z = cone_zeta * f_n_mag * slip
+    # WEDGE-CAPPED vertical share (v4, round 5).  The round-4 model let the
+    # share grow with the normal force unbounded (f_z = zeta*f_n*slip), which
+    # at zeta=mu=0.8 zeroed the lateral friction budget exactly in the
+    # strong-push slip band and piled up to 8x m*g of cone-plow floor load —
+    # the round-4 'Known trade' (the object slid off the face while pinned to
+    # the floor: 72-91 mm error over 10 steps, and a spurious mover climb the
+    # reference does not show on strong pushes).  Instrumenting both engines
+    # shows the two regimes are indistinguishable in the instantaneous
+    # (slip, f_n) state — the gentle-capture climb needs f_z bursts up to
+    # ~0.11 N at exactly the (slip ~ 0.17, f_n ~ 0.3) points where strong
+    # pushes need f_z ~ 0 — so the discriminator must be HISTORY: the
+    # measured climb ACCELERATES (0.5 -> 3 mm/step), i.e. the wedge of the
+    # mover's edge digging in under its soft K_r=0.1 rotational impedance
+    # has positive feedback in the accumulated lift.  ``fz_cap`` encodes it:
+    # the caller passes cap0 + slope*(mover_lift)+, so sustained gentle
+    # captures (which creep at the seed rate cap0/D_imp ~ 0.35 mm/step)
+    # unlock the runaway climb over tens of steps, while short strong pushes
+    # never accumulate enough lift to leave the seed cap.  Below the cap the
+    # formula is exactly the round-4 one, keeping the calibrated gentle
+    # regimes unchanged (CALIBRATION.md round 5).
+    f_z = jnp.minimum(cone_zeta * f_n_mag * slip, fz_cap)
     budget = mu * f_n_mag
     cap = jnp.where(f_z > 0, jnp.sqrt(jnp.maximum(budget * budget - f_z * f_z, 0.0)), budget)
     f_t_mag = jnp.clip(-b_t * vt, -cap, cap)

@@ -109,18 +109,15 @@ CONTACT_SCENARIOS = {
     'offcenter': ([0.24, 0.40], [0.36, 0.44], [[3.0, 0.0]] * 10, 0.010),
     'push_release': ([0.24, 0.36], [0.4005, 0.36], [[5.0, 0.0]] * 5 + [[-5.0, 0.0]] * 5, 0.010),
     'slow': ([0.30, 0.36], [0.4005, 0.36], [[1.0, 0.0]] * 12, 0.012),
-    # STRONG sustained diagonal corner pushes: the round-4 corner-escape
-    # recalibration (slip-gated cone share + plow + mover z-climb,
-    # CALIBRATION.md) fixed the 50-step gentle-diagonal regime
-    # (283 mm -> 22 mm, ensemble p90 24.8 -> 21.4 mm) at the cost of these
-    # three short strong pushes, where MuJoCo's impact bursts keep the object
-    # riding while the continuous model's slip-coupled floor load slows it;
-    # the band-pass slip gate (share fades above 0.4 m/s slip — the measured
-    # impact-ride regime) recovers about half of that residual.
-    # The bounds pin the measured trade so regressions are visible.
-    'diagonal': ([0.24, 0.24], [0.34, 0.34], [[2.0, 2.0]] * 10, 0.080),
-    'diag_fast': ([0.22, 0.22], [0.345, 0.345], [[4.0, 4.0]] * 8, 0.085),
-    'diag_asym': ([0.24, 0.26], [0.35, 0.345], [[2.5, 2.0]] * 10, 0.100),
+    # STRONG sustained diagonal corner pushes: the round-4 'Known trade'
+    # (72-91 mm over 10 steps) is CLOSED by the round-5 wedge-capped
+    # vertical share (cone_fz_cap + positive feedback in the accumulated
+    # mover lift, CALIBRATION.md): measured 13.5/16.9/11.2 mm; bounds are
+    # measured x ~1.5 margin, and the 50-step gentle-diagonal climb regime
+    # stays green (21.3 mm, test_corner_escape_is_a_mover_climb).
+    'diagonal': ([0.24, 0.24], [0.34, 0.34], [[2.0, 2.0]] * 10, 0.021),
+    'diag_fast': ([0.22, 0.22], [0.345, 0.345], [[4.0, 4.0]] * 8, 0.025),
+    'diag_asym': ([0.24, 0.26], [0.35, 0.345], [[2.5, 2.0]] * 10, 0.018),
     'corner_skim': ([0.24, 0.30], [0.355, 0.405], [[3.0, 0.5]] * 10, 0.012),
     'push_turn': ([0.24, 0.36], [0.4005, 0.36], [[3.0, 0.0]] * 5 + [[0.0, 3.0]] * 5, 0.012),
     'offcenter_big': ([0.24, 0.395], [0.36, 0.475], [[3.5, 0.0]] * 10, 0.010),
