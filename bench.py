@@ -307,6 +307,74 @@ def bench_pushing_rollout(batch=BATCH, **env_kwargs):
     return _best_rate(run_block, batch * ROLLOUT_T * TIMED_CALLS)
 
 
+def bench_training_rollout(batch=BATCH, reactive=True, hidden=(256, 256)):
+    """TRAINING rollout rate with a REACTIVE policy (round-5 VERDICT #3):
+    the policy MLP (the transfer recipe's (256, 256) trunk) is evaluated
+    every env step from the env's own observations.
+
+    ``reactive=True``: the plane-form reactive rollout
+    (``pushing.make_reactive_rollout`` — state stays in kernel plane layout,
+    features assembled from observation planes).  ``reactive=False``: the
+    per-step fused path (``make_fused_step_autoreset`` + obs-dict
+    featurization per step) — what PPO/HER paid before round 5."""
+    from gymnasium_planar_robotics_tpu.models import ppo, pushing
+
+    config, params = pushing.make_pushing_env(std_noise=1e-5, dtype=jnp.float32)
+    cfg = ppo.PPOConfig(obs_dim=12, action_dim=2, hidden=hidden, rollout_steps=ROLLOUT_T,
+                        action_scale=10.0)
+    pol = ppo.init_params(jax.random.PRNGKey(0), cfg)
+    state, obs, _ = jax.block_until_ready(pushing.init_batch(config, params, jax.random.PRNGKey(1), batch))
+
+    def policy_step(p, k, obs_vec):
+        action, raw, logp, value = ppo.sample_action(p, obs_vec, k, cfg.action_scale)
+        return action, value  # carry the value like a PPO rollout would
+
+    if reactive:
+        roll_fn = pushing.make_reactive_rollout(config, params, policy_step, ROLLOUT_T)
+
+        @jax.jit
+        def roll(state, pol, key, seed):
+            key, sub = jax.random.split(key)
+            s, traj, last = roll_fn(state, pol, sub, seed)
+            return s, key, traj[2].mean()
+    else:
+        fused = pushing.make_fused_step_autoreset(config, params)
+
+        def _vec(obs):
+            mp = obs['observation'][..., :2]
+            ag, dg = obs['achieved_goal'], obs['desired_goal']
+            return jnp.concatenate([obs['observation'], ag, dg, ag - mp, dg - ag], -1).astype(jnp.float32)
+
+        @jax.jit
+        def roll(state, pol, key, seed):
+            key, sub = jax.random.split(key)
+            vec0 = _vec({'observation': jnp.concatenate([state.pos, state.vel], -1),
+                         'achieved_goal': state.obj_pos, 'desired_goal': state.goal})
+
+            def body(carry, k):
+                s, vec = carry
+                action, aux = policy_step(pol, k, vec)
+                s, obs, rew, te, tr, info = fused(s, action)
+                return (s, _vec(obs)), rew.mean()
+
+            (s, _), rs = jax.lax.scan(body, (state, vec0), jax.random.split(sub, ROLLOUT_T))
+            return s, key, rs.mean()
+
+    key = jax.random.PRNGKey(2)
+    state, key, rs = jax.block_until_ready(roll(state, pol, key, 0))
+    box = [state, key, 1]
+
+    def run_block():
+        s, k, seed = box
+        for _ in range(TIMED_CALLS):
+            s, k, rs = roll(s, pol, k, seed)
+            seed += ROLLOUT_T
+        jax.block_until_ready(rs)
+        box[:] = [s, k, seed]
+
+    return _best_rate(run_block, batch * ROLLOUT_T * TIMED_CALLS)
+
+
 def bench_multiagent(batch=4096, num_agents=4):
     """BASELINE config 4: PettingZoo-style parallel multi-agent, batched.
 
@@ -388,6 +456,125 @@ def bench_mixed(batch_each=2048):
     return _best_rate(run_block, 2 * batch_each * ROLLOUT_T * TIMED_CALLS)
 
 
+# ---------------------------------------------------------------------------
+# roofline (round-5 VERDICT #4): empirical device peaks + analytic op counts
+# ---------------------------------------------------------------------------
+
+# Analytic per-ENV-STEP op counts for the headline kernels (one env-step =
+# 40 physics cycles + the in-kernel autoreset epilogue).  Derivation in
+# docs/performance.md#roofline; these are source-level counts of the kernel
+# bodies (ops/pallas_step.py), accurate to ~±25% — good enough to classify
+# the bound and size the ceiling, not for third-digit precision.
+#   flops = adds/muls/fmas(=2)/compares/selects on f32 planes
+#   transc = transcendental-class VPU ops (log, sqrt, sin, cos, exp, div/rsqrt)
+#   bytes = HBM traffic per env-step (plane reads+writes; state stays in
+#           VMEM within a launch, so traffic = launch I/O)
+ROOFLINE_KERNELS = {
+    # planning 1-mover plane-form rollout: per cycle ~ Box-Muller x2 (vel +
+    # pose noise: 8 transc + 20 flops), clamp chain (~20 flops + 2 sqrt),
+    # integrate (8), union-rect wall check (~15) => ~65 flops + 10 transc;
+    # x40 cycles + autoreset epilogue (cand_k=16 candidate draws + checks,
+    # ~450 flops + 35 transc) + obs noise (2 Box-Muller)
+    'planning rollout (1 mover)': dict(flops=3050, transc=445, bytes=(11 + 12) * 4),
+    # pushing adds the contact pass (~90 flops + 4 sqrt/div per cycle), the
+    # object/floor/yaw updates (~60 flops + 3 div/sqrt) and the mover-z DOF
+    # (~12 flops) => ~230 flops + 17 transc per cycle
+    'pushing rollout': dict(flops=9650, transc=725, bytes=(21 + 36) * 4),
+    # 4-mover: 4x the per-mover integrate/wall work + 6 pair SAT tests
+    # (~70 flops each, box: 4-axis SAT) + joint reset sampling
+    'planning 4-mover rollout': dict(flops=13100, transc=1700, bytes=(33 + 40) * 4),
+}
+
+
+def _microbench_peaks():
+    """Empirical device peaks: VPU f32 FMA rate, transcendental rate, HBM
+    copy bandwidth — measured on the SAME chip/protocol as the kernels, so
+    fraction-of-peak is apples-to-apples."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interp = jax.default_backend() == 'cpu'
+    R, L, K = 256, 128, 2048
+
+    def fma_kern(x_ref, o_ref):
+        x = x_ref[:]
+        def body(i, acc):
+            return acc * 1.0000001 + x
+        o_ref[:] = jax.lax.fori_loop(0, K, body, x)
+
+    def transc_kern(x_ref, o_ref):
+        x = x_ref[:]
+        def body(i, acc):
+            return jnp.exp(acc * 1e-6)
+        o_ref[:] = jax.lax.fori_loop(0, K // 8, body, x)
+
+    def run(kern, ops_per_elem):
+        f = jax.jit(lambda x: pl.pallas_call(
+            kern, out_shape=jax.ShapeDtypeStruct((R, L), jnp.float32),
+            interpret=_roofline_interp(interp))(x))
+        x = jnp.ones((R, L), jnp.float32)
+        jax.block_until_ready(f(x))
+        t0 = time.perf_counter()
+        for _ in range(8):
+            y = f(x)
+        jax.block_until_ready(y)
+        dt = (time.perf_counter() - t0) / 8
+        return R * L * ops_per_elem / dt
+
+    def _roofline_interp(interp):
+        from gymnasium_planar_robotics_tpu.ops.pallas_step import _interpret_param
+        return _interpret_param(interp)
+
+    vpu = run(fma_kern, 2 * K)  # fma = 2 flops
+    transc = run(transc_kern, K // 8 + K // 8)  # exp + mul per iter -> count exp only: K//8; mul negligible
+    # HBM bandwidth: out-of-VMEM copy, 256 MB of traffic
+    n = 32 * 1024 * 1024
+    cp = jax.jit(lambda x: x * 1.0000001)
+    x = jnp.ones((n,), jnp.float32)
+    jax.block_until_ready(cp(x))
+    t0 = time.perf_counter()
+    for _ in range(8):
+        y = cp(x)
+    jax.block_until_ready(y)
+    bw = 8 * 2 * n * 4 / (time.perf_counter() - t0)
+    return dict(vpu_flops=vpu, transc_ops=transc / 2, hbm_bw=bw)
+
+
+def _run_roofline() -> None:
+    peaks = _microbench_peaks()
+    _log(f"roofline: measured peaks — VPU {peaks['vpu_flops'] / 1e12:.2f} Tflop/s f32, "
+         f"transcendental {peaks['transc_ops'] / 1e9:.1f} Gop/s, HBM copy {peaks['hbm_bw'] / 1e9:.0f} GB/s")
+    rates = {
+        'planning rollout (1 mover)': bench_planning_rollout(4096),
+        'pushing rollout': bench_pushing_rollout(4096),
+        'planning 4-mover rollout': bench_planning_rollout(4096, 4, np.ones((4, 4))),
+    }
+    for name, rate in rates.items():
+        c = ROOFLINE_KERNELS[name]
+        ach_flops = rate * c['flops']
+        ach_transc = rate * c['transc']
+        ach_bw = rate * c['bytes']
+        f_vpu = ach_flops / peaks['vpu_flops']
+        f_tr = ach_transc / peaks['transc_ops']
+        f_bw = ach_bw / peaks['hbm_bw']
+        bound = max(('transcendental', f_tr), ('vpu-flops', f_vpu), ('hbm', f_bw), key=lambda kv: kv[1])
+        # speed-of-light rate if ONLY the binding resource limited it
+        sol = rate / bound[1]
+        print(json.dumps({
+            'metric': f'roofline {name}',
+            'env_steps_per_s': round(rate, 0),
+            'frac_vpu_flops': round(f_vpu, 3),
+            'frac_transcendental': round(f_tr, 3),
+            'frac_hbm': round(f_bw, 4),
+            'bound': bound[0],
+            'speed_of_light_env_steps_per_s': round(sol, 0),
+        }))
+    print(json.dumps({'metric': 'roofline peaks',
+                      'vpu_f32_tflops': round(peaks['vpu_flops'] / 1e12, 2),
+                      'transcendental_gops': round(peaks['transc_ops'] / 1e9, 1),
+                      'hbm_copy_gbps': round(peaks['hbm_bw'] / 1e9, 0)}))
+
+
 def main() -> None:
     import os
 
@@ -399,6 +586,9 @@ def main() -> None:
         return
     if '--scaling' in sys.argv:
         _run_scaling()
+        return
+    if '--roofline' in sys.argv:
+        _run_roofline()
         return
     if '--suite' in sys.argv:
         rows = [
@@ -412,6 +602,19 @@ def main() -> None:
             ('planning 1-mover 4096 envs (pallas fused)', bench_planning_fused(4096), REF_PLANNING_1),
             ('planning 1-mover 4096 envs (plane-form fused rollout)', bench_planning_rollout(4096), REF_PLANNING_1),
             ('planning 1-mover 256 envs (plane-form fused rollout)', bench_planning_rollout(256), REF_PLANNING_1),
+            # round-5 rollout matrix completion (VERDICT #7): jerk + box on
+            # the plane-form rollout path
+            ('planning jerk-mode 4096 envs (plane-form fused rollout)',
+             bench_planning_rollout(4096, learn_jerk=True), REF_PLANNING_1),
+            ('planning box-shape 4096 envs (plane-form fused rollout)',
+             bench_planning_rollout(4096, collision_params={'shape': 'box', 'size': np.array([0.09, 0.09])}),
+             REF_PLANNING_1),
+            # round-5 reactive training rollouts (VERDICT #3): policy MLP
+            # evaluated every step from the env's own observations
+            ('pushing TRAINING rollout 4096 envs (reactive policy, plane-form)',
+             bench_training_rollout(4096, reactive=True), REF_PUSHING),
+            ('pushing TRAINING rollout 4096 envs (reactive policy, per-step fused)',
+             bench_training_rollout(4096, reactive=False), REF_PUSHING),
             ('planning 1-mover 4096 envs (fused, shard_map 1-device mesh)',
              bench_planning_fused(4096, n_mesh_devices=1), REF_PLANNING_1),
             ('planning jerk-mode 4096 envs (pallas fused)', bench_planning_fused(4096, learn_jerk=True), REF_PLANNING_1),

@@ -37,6 +37,10 @@ def main():
     ap.add_argument('--cycles', type=int, default=40)
     ap.add_argument('--interpret', action='store_true',
                     help='interpret-mode kernels (CPU virtual-device runs)')
+    ap.add_argument('--reactive', action='store_true',
+                    help='round-5 reactive plane-form rollout: env state stays in '
+                         'kernel plane layout for the whole rollout; the policy MLP '
+                         'runs between launches on plane-assembled features')
     args = ap.parse_args()
 
     devices = jax.devices()[: args.devices] if args.devices else jax.devices()
@@ -48,30 +52,50 @@ def main():
         np.ones((3, 3)), 1, std_noise=1e-5, dtype=jnp.float32, a_max=3.0,
         reward_mode='dense', num_cycles=args.cycles,
     )
-    # the fused kernel, one launch per device per env step, under shard_map
-    fused = sharding.make_sharded_fused_step(
-        planning, config, params, mesh, interpret=args.interpret
-    )
 
     cfg = ppo.PPOConfig(obs_dim=6, action_dim=2, rollout_steps=args.rollout,
                         learning_rate=1e-3, action_scale=3.0)
     pol = ppo.init_params(jax.random.PRNGKey(0), cfg)
-    train_step, opt = ppo.make_train_step(config, params, cfg, batched_step_fn=fused)
-    opt_state = opt.init(pol)
 
     sh = sharding.batch_sharding(mesh)
     rep = sharding.replicated(mesh)
     state, obs, _ = planning.init_batch(config, params, jax.random.PRNGKey(1), args.batch)
-    obs_vec = jnp.concatenate(
-        [obs['observation'], obs['achieved_goal'], obs['desired_goal']], -1
-    ).astype(jnp.float32)
-    runner = (
-        jax.device_put(state, sh),
-        jax.device_put(obs_vec, sh),
-        jax.device_put(pol, rep),
-        jax.device_put(opt_state, rep),
-        jax.device_put(jax.random.PRNGKey(2), rep),
-    )
+
+    if args.reactive:
+        # round-5 path: the rollout keeps env state in kernel plane layout;
+        # the plane kernels are sparse-in-plane, so build them from a sparse
+        # config and let the reactive rollout compute the dense shaping
+        kconfig, kparams = planning.make_planning_env(
+            np.ones((3, 3)), 1, std_noise=1e-5, dtype=jnp.float32, a_max=3.0,
+            num_cycles=args.cycles,
+        )
+        train_step, opt = ppo.make_train_step_reactive(
+            cfg, lambda ps: sharding.make_sharded_reactive_rollout(
+                planning, kconfig, kparams, ps, cfg.rollout_steps, mesh,
+                interpret=args.interpret, dense_reward=True))
+        runner = (
+            jax.device_put(state, sh),
+            jax.device_put(pol, rep),
+            jax.device_put(opt.init(pol), rep),
+            jax.device_put(jax.random.PRNGKey(2), rep),
+            jnp.asarray(0, jnp.int32),
+        )
+    else:
+        # the fused kernel, one launch per device per env step, under shard_map
+        fused = sharding.make_sharded_fused_step(
+            planning, config, params, mesh, interpret=args.interpret
+        )
+        train_step, opt = ppo.make_train_step(config, params, cfg, batched_step_fn=fused)
+        obs_vec = jnp.concatenate(
+            [obs['observation'], obs['achieved_goal'], obs['desired_goal']], -1
+        ).astype(jnp.float32)
+        runner = (
+            jax.device_put(state, sh),
+            jax.device_put(obs_vec, sh),
+            jax.device_put(pol, rep),
+            jax.device_put(opt.init(pol), rep),
+            jax.device_put(jax.random.PRNGKey(2), rep),
+        )
     step = jax.jit(train_step)
 
     runner, metrics = step(runner)  # compile
@@ -85,7 +109,8 @@ def main():
             print(
                 f'iter {i:4d}  reward {float(metrics["reward_mean"]):8.3f}  '
                 f'loss {float(metrics["loss"]):8.3f}  '
-                f'{sps:,.0f} env-steps/s over {n_dev} device(s), fused shard_map rollout'
+                f'{sps:,.0f} env-steps/s over {n_dev} device(s), '
+                + ('reactive plane-form rollout' if args.reactive else 'fused shard_map rollout')
             )
 
 

@@ -900,6 +900,25 @@ def _chunked_rollout(raw_rollout, planes0, action_planes, seed, K: int, reward_f
     return planes, rew, term, trunc
 
 
+def _pad_rollout_batch(state, actions, b: int):
+    """Lane-pad a rollout's state pytree + action tensor (batch on axis 1) to
+    the next 128 multiple by replicating the last env; callers slice outputs
+    back to ``b`` (round 5: any batch size keeps the plane-form path, like
+    ``ops/pallas_step._pad_lanes`` does for the per-step kernels)."""
+    b_pad = -(-b // 128) * 128
+    if b_pad == b:
+        return state, actions, b
+
+    def pad0(x):
+        return jnp.concatenate([x, jnp.broadcast_to(x[-1:], (b_pad - b,) + x.shape[1:])], 0)
+
+    state = jax.tree_util.tree_map(pad0, state)
+    actions = jnp.concatenate(
+        [actions, jnp.broadcast_to(actions[:, -1:], actions.shape[:1] + (b_pad - b,) + actions.shape[2:])], 1
+    )
+    return state, actions, b_pad
+
+
 def make_fused_rollout(
     config: PlanningConfig, params: PlanningParams, interpret: bool = False, cand_k: int = 16,
     steps_per_launch: int = 1,
@@ -911,8 +930,8 @@ def make_fused_rollout(
     step (measured at 256 envs, where the kernel body itself is ~4 µs); this
     rollout keeps the env state in the kernel's plane layout across a
     ``lax.scan`` — ONE pack and ONE unpack per rollout — and feeds the kernel
-    a pre-computed action tensor (random/offline policies; a reactive policy
-    needs the per-step API).
+    a pre-computed action tensor (random/offline policies; for a REACTIVE
+    policy at the same rate use ``make_reactive_rollout``, round 5).
 
     ``steps_per_launch > 1`` additionally runs that many complete autoreset
     env steps inside ONE kernel launch
@@ -947,11 +966,11 @@ def make_fused_rollout(
     max_steps = float(config.max_episode_steps)
 
     def rollout(state: PlanningState, actions: jnp.ndarray, seed):
-        b = state.pos.shape[0]
-        assert b % 128 == 0, 'plane-form rollout needs a 128-multiple batch'
+        b0 = state.pos.shape[0]
+        actions = jnp.clip(jnp.asarray(actions, jnp.float32).reshape(-1, b0, 2), -limit, limit)
+        state, actions, b = _pad_rollout_batch(state, actions, b0)
         rows = b // 128
         dtype = state.pos.dtype
-        actions = jnp.clip(jnp.asarray(actions, jnp.float32).reshape(-1, b, 2), -limit, limit)
 
         def plane(x, comp):
             return x.reshape(b, 2)[:, comp].reshape(rows, 128).astype(jnp.float32)
@@ -1003,8 +1022,112 @@ def make_fused_rollout(
             steps=planes[8].reshape(b).astype(jnp.int32),
         )
         T = rew.shape[0]
-        return (final, rew.reshape(T, b).astype(dtype),
-                term.reshape(T, b) > 0.5, trunc.reshape(T, b) > 0.5)
+        final = jax.tree_util.tree_map(lambda x: x[:b0], final)
+        return (final, rew.reshape(T, b)[:, :b0].astype(dtype),
+                term.reshape(T, b)[:, :b0] > 0.5, trunc.reshape(T, b)[:, :b0] > 0.5)
+
+    return rollout
+
+
+def make_reactive_rollout(
+    config: PlanningConfig, params: PlanningParams, policy_step, num_steps: int,
+    interpret: bool = False, cand_k: int = 16, dense_reward: bool = False,
+):
+    """Plane-form rollout driven by a REACTIVE policy — the planning
+    counterpart of ``pushing.make_reactive_rollout`` (see its docstring for
+    the design and the documented RNG/first-obs differences vs the per-step
+    path).  Single-mover fused configs only.
+
+    ``policy_step(pol, key, obs_vec [B, 6]) -> (action [B, 2], aux)`` —
+    ``obs_vec`` is the standard goal-env concat [vel, achieved, desired]
+    (the layout PPO trains on, tools/transfer_eval._obs_vec).
+
+    Returns ``rollout(state, pol, key, seed) -> (final PlanningState, traj,
+    last_obs_vec)``; ``traj = (obs_vec, aux, reward, terminated, truncated,
+    final_vec)``.  ``dense_reward=True`` gives the ``reward_mode='dense'``
+    shaping (-distance; collision/success at ±50) from the pre-reset planes.
+    """
+    from gymnasium_planar_robotics_tpu.ops import pallas_step
+
+    assert not config.learn_jerk, 'reactive rollout: acc mode only'
+    assert config.num_movers == 1 and pallas_step.supports(config, params)
+    fused = pallas_step.make_fused_planning_autoreset_cycles(
+        config, params, interpret=interpret, cand_k=cand_k
+    )
+    raw = fused.raw_planes
+    a_max = params.a_max
+    thr = float(np.asarray(params.threshold_pos))
+    max_steps = float(config.max_episode_steps)
+
+    def features(vx, vy, agx, agy, gx, gy):
+        return jnp.stack([c.reshape(-1) for c in (vx, vy, agx, agy, gx, gy)], axis=-1)
+
+    def rollout(state: PlanningState, pol, key, seed):
+        b0 = state.pos.shape[0]
+        state, _, b = _pad_rollout_batch(state, jnp.zeros((1, b0, 2), jnp.float32), b0)
+        rows = b // 128
+        dtype = state.pos.dtype
+        seed = jnp.asarray(seed, jnp.int32)
+
+        def plane(x, comp):
+            return x.reshape(b, 2)[:, comp].reshape(rows, 128).astype(jnp.float32)
+
+        planes0 = tuple(
+            [plane(state.pos, 0), plane(state.pos, 1), plane(state.vel, 0), plane(state.vel, 1),
+             plane(state.acc, 0), plane(state.acc, 1), plane(state.goals, 0), plane(state.goals, 1),
+             state.steps.astype(jnp.float32).reshape(rows, 128)]
+        )
+        obs0 = (planes0[2], planes0[3], planes0[0], planes0[1])  # vel, achieved
+
+        def body(carry, t):
+            planes, obs_pl = carry
+            obs_vec = features(*obs_pl, planes[6], planes[7])
+            action, aux = policy_step(pol, jax.random.fold_in(key, t), obs_vec)
+            action = jnp.clip(jnp.asarray(action, jnp.float32), -a_max, a_max)
+            a_pl = (action[:, 0].reshape(rows, 128), action[:, 1].reshape(rows, 128))
+            outs = raw(planes, a_pl, seed + t)
+            new_planes = tuple(outs[:9])
+            wall = outs[19]
+            reached = outs[20]
+            final_vec = features(outs[13], outs[14], outs[15], outs[16], planes[6], planes[7])
+            trunc = planes[8] + 1.0 >= max_steps
+            term = jnp.maximum(wall, reached) > 0.5
+            if dense_reward:
+                ddx = outs[15] - planes[6]
+                ddy = outs[16] - planes[7]
+                dist = jnp.sqrt(ddx * ddx + ddy * ddy)
+                rew = jnp.where(wall > 0.5, -REWARD_SUCCESS,
+                                jnp.where(reached > 0.5, REWARD_SUCCESS, -dist))
+            else:
+                rew = jnp.where(wall > 0.5, -REWARD_SUCCESS,
+                                jnp.where(reached > 0.5, REWARD_SUCCESS, -1.0))
+            new_obs = (outs[9], outs[10], outs[11], outs[12])
+            out_t = (obs_vec, aux, rew.reshape(-1), term.reshape(-1), trunc.reshape(-1), final_vec)
+            return (new_planes, new_obs), out_t
+
+        (planes, obs_pl), traj = jax.lax.scan(
+            body, (planes0, obs0), jnp.arange(num_steps, dtype=jnp.int32)
+        )
+        last_obs_vec = features(*obs_pl, planes[6], planes[7])[:b0]
+
+        def pair(i):
+            return jnp.stack([planes[i].reshape(b), planes[i + 1].reshape(b)], -1).astype(dtype)
+
+        act = pair(4)
+        scale = float(np.asarray(params.accel_scale).reshape(-1)[0])
+        final = PlanningState(
+            pos=pair(0)[:, None, :], vel=pair(2)[:, None, :],
+            acc=(act * scale)[:, None, :],
+            act=jnp.zeros_like(act)[:, None, :],
+            goals=pair(6)[:, None, :],
+            key=jax.vmap(lambda k: jax.random.split(k, 1)[0])(state.key),
+            steps=planes[8].reshape(b).astype(jnp.int32),
+        )
+        final = jax.tree_util.tree_map(lambda x: x[:b0], final)
+        obs_vec, aux, rew, term, trunc, final_vec = traj
+        traj = (obs_vec[:, :b0], jax.tree_util.tree_map(lambda x: x[:, :b0], aux),
+                rew[:, :b0].astype(dtype), term[:, :b0], trunc[:, :b0], final_vec[:, :b0])
+        return final, traj, last_obs_vec
 
     return rollout
 
@@ -1026,10 +1149,11 @@ def _make_fused_rollout_multi(config, params, interpret: bool = False, cand_k: i
 
     def rollout(state: PlanningState, actions: jnp.ndarray, seed):
         b = state.pos.shape[0]
-        assert b % 128 == 0, 'plane-form rollout needs a 128-multiple batch'
+        b0 = b
+        actions = jnp.clip(jnp.asarray(actions, jnp.float32).reshape(-1, b0, m, 2), -limit, limit)
+        state, actions, b = _pad_rollout_batch(state, actions, b0)
         rows = b // 128
         dtype = state.pos.dtype
-        actions = jnp.clip(jnp.asarray(actions, jnp.float32).reshape(-1, b, m, 2), -limit, limit)
 
         def planes_of(x):  # [B, M, 2] -> interleaved per-mover planes
             flat = x.reshape(b, m, 2)
@@ -1082,8 +1206,9 @@ def _make_fused_rollout_multi(config, params, interpret: bool = False, cand_k: i
             steps=planes[8 * m].reshape(b).astype(jnp.int32),
         )
         T = rew.shape[0]
-        return (final, rew.reshape(T, b).astype(dtype),
-                term.reshape(T, b) > 0.5, trunc.reshape(T, b) > 0.5)
+        final = jax.tree_util.tree_map(lambda x: x[:b0], final)
+        return (final, rew.reshape(T, b)[:, :b0].astype(dtype),
+                term.reshape(T, b)[:, :b0] > 0.5, trunc.reshape(T, b)[:, :b0] > 0.5)
 
     return rollout
 

@@ -136,6 +136,70 @@ def ppo_loss(params: dict, cfg: PPOConfig, batch) -> jnp.ndarray:
     return pg + cfg.value_coef * v_loss - cfg.entropy_coef * entropy
 
 
+def make_train_step_reactive(cfg: PPOConfig, make_rollout):
+    """PPO train step over a plane-form REACTIVE rollout (round 5): the env
+    state stays in kernel plane layout for the whole rollout
+    (``models/*.make_reactive_rollout``) and the policy MLP runs between
+    kernel launches on features assembled straight from observation planes —
+    training rollouts at the plane-form rate instead of the per-step fused
+    path's pack/unpack glue.
+
+    ``make_rollout(policy_step)`` must return the reactive rollout built with
+    ``num_steps=cfg.rollout_steps``, e.g.::
+
+        train_step, opt = ppo.make_train_step_reactive(
+            cfg, lambda ps: pushing.make_reactive_rollout(
+                config, params, ps, cfg.rollout_steps, dense_reward=True))
+
+    Returns ``(train_step, optimizer)``; the runner is ``(env_state, params,
+    opt_state, key, seed)`` — ``seed`` feeds the kernels' hardware PRNG and
+    advances by ``rollout_steps`` per iteration.
+    """
+    optimizer = optax.adam(cfg.learning_rate)
+
+    def policy_step(pol, k, obs_vec):
+        action, raw, logp, value = sample_action(pol, obs_vec, k, cfg.action_scale)
+        return action, (raw, logp, value)
+
+    reactive_rollout = make_rollout(policy_step)
+
+    def train_step(runner):
+        env_state, params, opt_state, key, seed = runner
+        key, k_roll = jax.random.split(key)
+        env_state, traj_t, last_obs_vec = reactive_rollout(env_state, params, k_roll, seed)
+        obs_vec, (raw, logp, value), reward, term, trunc, final_vec = traj_t
+        _, _, last_value = apply(params, last_obs_vec)
+        _, _, final_value = apply(params, final_vec)
+        traj = Transition(
+            obs=obs_vec, raw_action=raw, logp=logp, value=value,
+            reward=reward.astype(jnp.float32), terminated=term, truncated=trunc,
+            final_value=final_value,
+        )
+        advantages, returns = compute_gae(traj, last_value, cfg.gamma, cfg.gae_lambda)
+        flat = jax.tree_util.tree_map(lambda x: x.reshape((-1,) + x.shape[2:]), (
+            traj.obs, traj.raw_action, traj.logp, advantages, returns))
+
+        def epoch(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(ppo_loss)(params, cfg, flat)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            epoch, (params, opt_state), None, length=cfg.update_epochs
+        )
+        metrics = {
+            'loss': losses[-1],
+            'reward_mean': traj.reward.mean(),
+            'done_rate': (traj.terminated | traj.truncated).astype(jnp.float32).mean(),
+        }
+        return (env_state, params, opt_state, key, seed + cfg.rollout_steps), metrics
+
+    train_step.policy_step = policy_step
+    return train_step, optimizer
+
+
 def make_train_step(
     env_config,
     env_params,

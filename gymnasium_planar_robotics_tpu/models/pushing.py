@@ -725,7 +725,8 @@ def make_fused_rollout(
     family (BASELINE.json).  Same design as ``planning.make_fused_rollout``:
     the env state stays in the kernel's plane layout across a ``lax.scan``
     (one pack/unpack per rollout instead of per step, removing the fixed
-    ~30 µs/step of XLA glue), actions precomputed (random/offline policies).
+    ~30 µs/step of XLA glue), actions precomputed (random/offline policies;
+    for a REACTIVE policy at the same rate use ``make_reactive_rollout``).
 
     ``steps_per_launch > 1`` runs that many complete autoreset env steps
     inside ONE kernel launch (``ops/pallas_step._pushing_rollout_kernel``);
@@ -751,11 +752,13 @@ def make_fused_rollout(
     max_steps = float(config.max_episode_steps)
 
     def rollout(state: PushingState, actions: jnp.ndarray, seed):
-        b = state.pos.shape[0]
-        assert b % 128 == 0, 'plane-form rollout needs a 128-multiple batch'
+        from gymnasium_planar_robotics_tpu.models.planning import _pad_rollout_batch
+
+        b0 = state.pos.shape[0]
+        actions = jnp.clip(jnp.asarray(actions, jnp.float32).reshape(-1, b0, 2), -limit, limit)
+        state, actions, b = _pad_rollout_batch(state, actions, b0)
         rows = b // 128
         dtype = state.pos.dtype
-        actions = jnp.clip(jnp.asarray(actions, jnp.float32).reshape(-1, b, 2), -limit, limit)
 
         def plane(x, comp):
             return x.reshape(b, 2)[:, comp].reshape(rows, 128).astype(jnp.float32)
@@ -815,8 +818,147 @@ def make_fused_rollout(
             steps=planes[18].reshape(b).astype(jnp.int32),
         )
         T = rew.shape[0]
-        return (final, rew.reshape(T, b).astype(dtype),
-                term.reshape(T, b) > 0.5, trunc.reshape(T, b) > 0.5)
+        final = jax.tree_util.tree_map(lambda x: x[:b0], final)
+        return (final, rew.reshape(T, b)[:, :b0].astype(dtype),
+                term.reshape(T, b)[:, :b0] > 0.5, trunc.reshape(T, b)[:, :b0] > 0.5)
+
+    return rollout
+
+
+def make_reactive_rollout(
+    config: PushingConfig, params: PushingParams, policy_step, num_steps: int,
+    interpret: bool = False, cand_k: int = 32, dense_reward: bool = False,
+):
+    """Plane-form rollout driven by a REACTIVE policy (round-5 VERDICT #3):
+    the env state stays in the kernel's plane layout across the whole scan
+    (like ``make_fused_rollout``) while ``policy_step`` evaluates the policy
+    between kernel launches on observation FEATURES assembled directly from
+    the kernel's post-reset observation planes — so PPO/HER training rollouts
+    run at the plane-form rate instead of paying the per-step pack/unpack
+    glue of the per-step fused path.
+
+    ``policy_step(pol, key, obs_vec [B, 12]) -> (action [B, 2], aux pytree)``
+    — ``obs_vec`` is the 12-feature layout of the training recipes
+    (tools/transfer_eval._pushing_vec: mover pos+vel, achieved, desired,
+    achieved-mover, desired-achieved); ``aux`` is stacked over steps (PPO
+    puts (raw, logp, value) there).
+
+    Returns ``rollout(state, pol, key, seed) -> (final PushingState, traj,
+    last_obs_vec)`` with ``traj = (obs_vec [T,B,F], aux, reward [T,B],
+    terminated [T,B], truncated [T,B], final_vec [T,B,F])`` — ``final_vec``
+    is the PRE-reset observation's features (the truncation bootstrap input).
+    ``reward`` is the reference's sparse scoring, or the dense training
+    shaping of ``reward_mode='dense'`` when ``dense_reward=True`` (computed
+    from the pre-reset observation planes; obs noise is 1e-5, irrelevant to
+    shaping).  Differences from the per-step path, by design: episode
+    randomness comes from the kernels' hardware PRNG (seeded ``seed + t``)
+    instead of the carried key array, and the FIRST step's observation is
+    noise-free (assembled from state planes; subsequent steps use the
+    kernel's noisy observation planes).  Reference semantics:
+    benchmark_pushing_env.py:457-527.
+    """
+    from gymnasium_planar_robotics_tpu.ops import pallas_step
+
+    assert not config.learn_jerk, 'reactive rollout: acc mode only (the 12-feature recipe layout)'
+    assert np.asarray(params.v_max).dtype == np.float32, 'f64 parity mode has no fused kernel'
+    fused = pallas_step.make_fused_pushing_autoreset_cycles(
+        config, params, interpret=interpret, cand_k=cand_k
+    )
+    raw = fused.raw_planes
+    a_max = params.a_max
+    thr = float(np.asarray(params.threshold_pos))
+    max_steps = float(config.max_episode_steps)
+
+    def features(mpx, mpy, mvx, mvy, agx, agy, gx, gy):
+        """[rows, 128] planes -> [B, 12] policy features (plane reshapes are
+        layout-free; the stack fuses into the first matmul's operand)."""
+        cols = (mpx, mpy, mvx, mvy, agx, agy, gx, gy,
+                agx - mpx, agy - mpy, gx - agx, gy - agy)
+        return jnp.stack([c.reshape(-1) for c in cols], axis=-1)
+
+    def rollout(state: PushingState, pol, key, seed):
+        from gymnasium_planar_robotics_tpu.models.planning import _pad_rollout_batch
+
+        b0 = state.pos.shape[0]
+        state, _, b = _pad_rollout_batch(state, jnp.zeros((1, b0, 2), jnp.float32), b0)
+        rows = b // 128
+        dtype = state.pos.dtype
+        seed = jnp.asarray(seed, jnp.int32)
+
+        def plane(x, comp):
+            return x.reshape(b, 2)[:, comp].reshape(rows, 128).astype(jnp.float32)
+
+        def scalar_plane(x):
+            return x.astype(jnp.float32).reshape(rows, 128)
+
+        planes0 = []
+        for arr in (state.pos, state.vel, state.acc, state.act, state.obj_pos, state.obj_vel):
+            planes0 += [plane(arr, 0), plane(arr, 1)]
+        planes0 += [scalar_plane(state.obj_yaw), scalar_plane(state.obj_w),
+                    scalar_plane(state.mover_z), scalar_plane(state.mover_vz),
+                    plane(state.goal, 0), plane(state.goal, 1), scalar_plane(state.steps)]
+        planes0 = tuple(planes0)
+        # first observation from state planes (noise-free; see docstring)
+        obs0 = (planes0[0], planes0[1], planes0[2], planes0[3], planes0[8], planes0[9])
+
+        def body(carry, t):
+            planes, obs_pl = carry
+            obs_vec = features(*obs_pl, planes[16], planes[17])
+            action, aux = policy_step(pol, jax.random.fold_in(key, t), obs_vec)
+            action = jnp.clip(jnp.asarray(action, jnp.float32), -a_max, a_max)
+            a_pl = (action[:, 0].reshape(rows, 128), action[:, 1].reshape(rows, 128))
+            outs = raw(planes, a_pl, seed + t)
+            new_planes = tuple(outs[:19])
+            wall = outs[33]
+            # pre-reset (final) observation features vs the OLD goal
+            final_vec = features(outs[25], outs[26], outs[27], outs[28],
+                                 outs[29], outs[30], planes[16], planes[17])
+            ddx = outs[29] - planes[16]
+            ddy = outs[30] - planes[17]
+            d_og = jnp.sqrt(ddx * ddx + ddy * ddy)
+            reached = d_og <= thr
+            trunc = planes[18] + 1.0 >= max_steps
+            term = wall > 0.5
+            if dense_reward:
+                # the training shaping of _step_core's dense mode, from the
+                # pre-reset observation planes
+                dmx = outs[29] - outs[25]
+                dmy = outs[30] - outs[26]
+                d_mo = jnp.sqrt(dmx * dmx + dmy * dmy)
+                approach = -0.3 * jnp.maximum(d_mo - 0.105, 0.0)
+                retreat = 0.5 * jnp.minimum(d_mo, 0.15)
+                shaped = -d_og + jnp.where(reached, retreat, approach)
+                rew = jnp.where(term, REWARD_WALL_COLLISION, shaped)
+            else:
+                rew = jnp.where(term, REWARD_WALL_COLLISION,
+                                jnp.where(reached, 0.0, -1.0))
+            new_obs = (outs[19], outs[20], outs[21], outs[22], outs[23], outs[24])
+            out_t = (obs_vec, aux, rew.reshape(-1), term.reshape(-1), trunc.reshape(-1), final_vec)
+            return (new_planes, new_obs), out_t
+
+        (planes, obs_pl), traj = jax.lax.scan(
+            body, (planes0, obs0), jnp.arange(num_steps, dtype=jnp.int32)
+        )
+        last_obs_vec = features(*obs_pl, planes[16], planes[17])[:b0]
+
+        def pair(i):
+            return jnp.stack([planes[i].reshape(b), planes[i + 1].reshape(b)], -1).astype(dtype)
+
+        def scalar(i):
+            return planes[i].reshape(b).astype(dtype)
+
+        final = PushingState(
+            pos=pair(0), vel=pair(2), acc=pair(4), act=pair(6),
+            obj_pos=pair(8), obj_vel=pair(10), obj_yaw=scalar(12), obj_w=scalar(13),
+            mover_z=scalar(14), mover_vz=scalar(15), goal=pair(16),
+            key=jax.vmap(lambda k: jax.random.split(k, 1)[0])(state.key),
+            steps=planes[18].reshape(b).astype(jnp.int32),
+        )
+        final = jax.tree_util.tree_map(lambda x: x[:b0], final)
+        obs_vec, aux, rew, term, trunc, final_vec = traj
+        traj = (obs_vec[:, :b0], jax.tree_util.tree_map(lambda x: x[:, :b0], aux),
+                rew[:, :b0].astype(dtype), term[:, :b0], trunc[:, :b0], final_vec[:, :b0])
+        return final, traj, last_obs_vec
 
     return rollout
 

@@ -165,6 +165,47 @@ def make_sharded_fused_rollout(
     return rollout
 
 
+def make_sharded_reactive_rollout(
+    model, config, params, policy_step, num_steps: int, mesh: Mesh,
+    axis_name: str = DATA_AXIS, **kw
+) -> Callable:
+    """The REACTIVE plane-form rollout (``model.make_reactive_rollout``,
+    round 5) under ``jax.shard_map``: each device scans its local shard's
+    plane set AND evaluates the policy MLP on its local feature rows — the
+    policy parameters are replicated (classic DP), so training rollouts run
+    at the plane-form rate on any mesh with zero cross-device communication
+    inside the rollout (gradients all-reduce outside, in the PPO update).
+
+    Per-device decorrelation: the kernel hardware-PRNG seed gets an
+    ``axis_index`` offset (as ``make_sharded_fused_rollout``) and the policy
+    sampling key is ``fold_in(key, axis_index)``.
+
+    Returns ``rollout(state, pol, key, seed) -> (final_state, traj,
+    last_obs_vec)`` — jit it with ``state`` (and traj outputs) sharded on
+    ``axis_name`` and ``pol``/``key``/``seed`` replicated.
+    """
+    roll = model.make_reactive_rollout(config, params, policy_step, num_steps, **kw)
+
+    def local(state, pol, key, seed):
+        dev = jax.lax.axis_index(axis_name)
+        return roll(state, pol, jax.random.fold_in(key, dev), seed + dev * jnp.int32(1 << 20))
+
+    spec = P(axis_name)
+    # traj = (obs_vec [T,B,F], aux pytree [T,B,...], reward/term/trunc [T,B],
+    # final_vec [T,B,F]) — all batch-on-axis-1
+    sharded = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, P(), P(), P()),
+        out_specs=(spec, P(None, axis_name), spec),
+        check_vma=False,
+    )
+
+    def rollout(state, pol, key, seed):
+        return sharded(state, pol, key, jnp.asarray(seed, jnp.int32))
+
+    return rollout
+
+
 def metrics_summary(reward: jax.Array, terminated: jax.Array, info: dict) -> dict[str, jax.Array]:
     """Replicated scalar metrics from sharded per-env arrays.
 

@@ -40,6 +40,9 @@ def test_two_process_mesh():
     for rc, out, err in outs:
         assert rc == 0, f'worker failed: {err[-1500:]}'
         assert 'OK' in out
+        # round-5: the fused Pallas kernel under shard_map must run across
+        # the 2-process mesh and bit-match the unsharded kernel
+        assert 'FUSED OK' in out, f'fused cross-process section missing/failed: {out[-500:]}'
         rate_lines = [ln for ln in out.splitlines() if 'RATE' in ln]
         assert rate_lines, f'no RATE line in worker output: {out[-500:]}'
         rates.append(float(rate_lines[0].split('RATE')[1].split()[0]))

@@ -1,0 +1,128 @@
+"""Reactive plane-form rollouts (round 5, VERDICT #3): the policy runs
+between kernel launches on plane-assembled features.
+
+- A CONSTANT policy must bit-match ``make_fused_rollout`` with the same
+  precomputed actions and seed (both paths drive the identical raw plane
+  kernel with the same hw-PRNG seeds).
+- Lane padding: non-128-multiple batches run on the plane path and equal the
+  leading rows of the padded batch.
+- The reactive PPO train step runs end-to-end and produces finite metrics.
+
+Interpret-mode kernels on the CPU test platform (tests/conftest.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gymnasium_planar_robotics_tpu.models import planning, ppo, pushing
+
+
+def _push_env(**kw):
+    return pushing.make_pushing_env(std_noise=1e-5, num_cycles=4, dtype=jnp.float32, **kw)
+
+
+def _plan_env(**kw):
+    return planning.make_planning_env(
+        np.ones((3, 3)), 1, std_noise=1e-5, num_cycles=4, dtype=jnp.float32, **kw
+    )
+
+
+def test_reactive_constant_policy_matches_fused_rollout_pushing():
+    config, params = _push_env()
+    B, T = 128, 3
+    state, _, _ = pushing.init_batch(config, params, jax.random.PRNGKey(0), B)
+    const_action = jnp.tile(jnp.asarray([[2.0, 1.0]], jnp.float32), (B, 1))
+
+    def policy_step(pol, k, obs_vec):
+        return const_action, ()
+
+    reactive = pushing.make_reactive_rollout(config, params, policy_step, T, interpret=True)
+    final_r, traj, _ = jax.jit(lambda s: reactive(s, None, jax.random.PRNGKey(1), 7))(state)
+    _, _, rew_r, term_r, trunc_r, _ = traj
+
+    rollout = pushing.make_fused_rollout(config, params, interpret=True)
+    acts = jnp.tile(const_action[None], (T, 1, 1))
+    final_f, rew_f, term_f, trunc_f = jax.jit(lambda s: rollout(s, acts, 7))(state)
+
+    np.testing.assert_array_equal(np.asarray(final_r.pos), np.asarray(final_f.pos))
+    np.testing.assert_array_equal(np.asarray(final_r.obj_pos), np.asarray(final_f.obj_pos))
+    np.testing.assert_array_equal(np.asarray(final_r.steps), np.asarray(final_f.steps))
+    np.testing.assert_array_equal(np.asarray(rew_r), np.asarray(rew_f))
+    np.testing.assert_array_equal(np.asarray(trunc_r), np.asarray(trunc_f))
+
+
+def test_reactive_constant_policy_matches_fused_rollout_planning():
+    config, params = _plan_env()
+    B, T = 128, 3
+    state, _, _ = planning.init_batch(config, params, jax.random.PRNGKey(0), B)
+    const_action = jnp.tile(jnp.asarray([[3.0, -2.0]], jnp.float32), (B, 1))
+
+    def policy_step(pol, k, obs_vec):
+        return const_action, ()
+
+    reactive = planning.make_reactive_rollout(config, params, policy_step, T, interpret=True)
+    final_r, traj, _ = jax.jit(lambda s: reactive(s, None, jax.random.PRNGKey(1), 3))(state)
+    _, _, rew_r, _, _, _ = traj
+
+    rollout = planning.make_fused_rollout(config, params, interpret=True)
+    acts = jnp.tile(const_action[None], (T, 1, 1)).reshape(T, B, 1, 2)
+    final_f, rew_f, _, _ = jax.jit(lambda s: rollout(s, acts, 3))(state)
+
+    np.testing.assert_array_equal(np.asarray(final_r.pos), np.asarray(final_f.pos))
+    np.testing.assert_array_equal(np.asarray(final_r.steps), np.asarray(final_f.steps))
+    np.testing.assert_array_equal(np.asarray(rew_r), np.asarray(rew_f))
+
+
+def test_rollout_lane_padding_any_batch():
+    """b=72 (not a 128 multiple) runs the plane path and equals the first 72
+    rows of the padded batch (the wrapper replicates the last env; envs are
+    independent and noise is lane-position-keyed, so leading rows match the
+    same-layout 128 run exactly)."""
+    config, params = _push_env()
+    T = 2
+    state128, _, _ = pushing.init_batch(config, params, jax.random.PRNGKey(2), 128)
+    state72 = jax.tree_util.tree_map(lambda x: x[:72], state128)
+    acts = jax.random.uniform(jax.random.PRNGKey(3), (T, 128, 2), jnp.float32, -3.0, 3.0)
+    rollout = pushing.make_fused_rollout(config, params, interpret=True)
+    f72, r72, t72, tr72 = jax.jit(lambda s, a: rollout(s, a, 11))(state72, acts[:, :72])
+    assert f72.pos.shape == (72, 2) and r72.shape == (T, 72)
+    # padded-batch equivalence only holds when the pad rows match too; the
+    # wrapper pads with the LAST env, so compare against a 128 batch whose
+    # rows 72.. are that same env
+    pad_state = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x[:72], jnp.broadcast_to(x[71:72], (56,) + x.shape[1:])], 0),
+        state128,
+    )
+    pad_acts = jnp.concatenate(
+        [acts[:, :72], jnp.broadcast_to(acts[:, 71:72], (T, 56, 2))], axis=1
+    )
+    f128, r128, _, _ = jax.jit(lambda s, a: rollout(s, a, 11))(pad_state, pad_acts)
+    np.testing.assert_array_equal(np.asarray(f72.pos), np.asarray(f128.pos[:72]))
+    np.testing.assert_array_equal(np.asarray(r72), np.asarray(r128[:, :72]))
+
+
+@pytest.mark.slow
+def test_reactive_ppo_train_step_runs():
+    config, params = _push_env(reward_mode='dense')
+    cfg = ppo.PPOConfig(obs_dim=12, action_dim=2, hidden=(32, 32), rollout_steps=3,
+                        action_scale=10.0, update_epochs=2)
+    # the reactive rollout computes the dense shaping itself; build the
+    # kernels from the sparse config (fused paths are sparse-in-plane)
+    kconfig, kparams = _push_env()
+    train_step, opt = ppo.make_train_step_reactive(
+        cfg, lambda ps: pushing.make_reactive_rollout(
+            kconfig, kparams, ps, cfg.rollout_steps, interpret=True, dense_reward=True))
+    pol = ppo.init_params(jax.random.PRNGKey(0), cfg)
+    state, _, _ = pushing.init_batch(kconfig, kparams, jax.random.PRNGKey(1), 128)
+    runner = (state, pol, opt.init(pol), jax.random.PRNGKey(2), jnp.asarray(0, jnp.int32))
+    step = jax.jit(train_step)
+    for _ in range(2):
+        runner, m = step(runner)
+    assert np.isfinite(float(m['loss']))
+    assert np.isfinite(float(m['reward_mean']))
+    assert float(m['reward_mean']) > -60.0

@@ -270,3 +270,41 @@ def test_sharded_fused_rollout_runs_and_stays_sharded():
     fs2, rew2, te2, tr2 = rj(state, acts, 7)
     np.testing.assert_array_equal(np.asarray(rew), np.asarray(rew2))
     np.testing.assert_array_equal(np.asarray(fs.pos), np.asarray(fs2.pos))
+
+
+def test_sharded_reactive_rollout_runs_and_is_deterministic():
+    """Round-5 reactive plane-form rollout under shard_map over the 8-device
+    mesh: policy MLP evaluated per device on local feature rows, outputs
+    sharded, and the whole program is deterministic per (key, seed)."""
+    from gymnasium_planar_robotics_tpu.models import ppo, pushing
+
+    config, params = pushing.make_pushing_env(
+        std_noise=1e-5, num_cycles=4, dtype=jnp.float32
+    )
+    mesh = sharding.make_mesh()
+    batch, T = 128, 2
+    cfg = ppo.PPOConfig(obs_dim=12, action_dim=2, hidden=(16, 16), rollout_steps=T,
+                        action_scale=10.0)
+    pol = ppo.init_params(jax.random.PRNGKey(0), cfg)
+
+    def policy_step(p, k, obs_vec):
+        action, raw, logp, value = ppo.sample_action(p, obs_vec, k, cfg.action_scale)
+        return action, (raw, logp, value)
+
+    roll = sharding.make_sharded_reactive_rollout(
+        pushing, config, params, policy_step, T, mesh, interpret=True
+    )
+    state, _, _ = pushing.init_batch(config, params, jax.random.PRNGKey(1), batch)
+    gstate = sharding.shard_batch(state, mesh)
+
+    run = jax.jit(lambda s, p: roll(s, p, jax.random.PRNGKey(2), 5))
+    final, traj, last_obs = run(gstate, pol)
+    obs_vec, (raw, logp, value), rew, term, trunc, final_vec = traj
+    assert obs_vec.shape == (T, batch, 12)
+    assert rew.shape == (T, batch) and last_obs.shape == (batch, 12)
+    assert np.isfinite(np.asarray(rew)).all()
+    assert len(final.pos.sharding.device_set) == len(jax.devices())
+    # determinism per (key, seed)
+    final2, traj2, _ = run(gstate, pol)
+    np.testing.assert_array_equal(np.asarray(final.pos), np.asarray(final2.pos))
+    np.testing.assert_array_equal(np.asarray(traj[2]), np.asarray(traj2[2]))

@@ -178,17 +178,20 @@ def train_pushing(iters: int = 12000, batch: int = 256, seed: int = 0, log=print
 # ---------------------------------------------------------------------------
 
 
-def train_pushing_ppo(iters: int = 12000, batch: int = 2048, seed: int = 0, log=print):
-    """PPO with dense shaping on pushing (round-4 recipe; the strongest
-    pushing policy of the sweep — ~26% strict success vs DDPG+HER's ~12%).
+def train_pushing_ppo(iters: int = 30000, batch: int = 2048, seed: int = 0, log=print):
+    """PPO with dense shaping on pushing — the round-5 strong recipe
+    (~98% strict in-engine success at 30k iters; the round-4 plateau at ~26%
+    was premature policy-std collapse, fixed by a small entropy bonus, plus
+    a (256, 256) trunk — recipe lab: tools/train_push_strong.py).
 
     Shaping = object-to-goal distance + approach/retreat term
     (``pushing.reward_mode='dense'``); evaluated on the SPARSE reference
     scoring like the planning trainer — shaping is a training aid only."""
     config, params = pushing.make_pushing_env(dtype=jnp.float32, reward_mode='dense', **PUSHING_KW)
     cfg = ppo.PPOConfig(
-        obs_dim=12, action_dim=2, hidden=(128, 128), rollout_steps=25,
+        obs_dim=12, action_dim=2, hidden=(256, 256), rollout_steps=25,
         action_scale=PUSHING_KW['a_max'], learning_rate=3e-4, update_epochs=4,
+        entropy_coef=3e-3,
     )
 
     def obs_to_vec(obs):
@@ -277,6 +280,51 @@ def eval_in_engine(model, config, params, policy_fn, episodes: int, seed: int = 
     }
 
 
+class _ResetStall(Exception):
+    pass
+
+
+def _reset_with_timeout(env, seed: int, max_trials: int = 2000, log=print):
+    """Reference `reset` with a stall guard.  The reference pushing env's
+    object-start rejection loop is UNBOUNDED (benchmark_pushing_env.py:394-407)
+    and becomes UNSATISFIABLE when the mover start lands near the center of
+    the object sampling box (the whole box is then within `min_mo_dist` ~
+    0.21 m of the mover while the box half-diagonal is only ~0.19 m) — about
+    0.2% of resets hang forever (observed: 66,700+ trials on one seed).  Our
+    engine's bounded sampler + stall-retry handles this by construction; for
+    the reference we bound the loop by hooking the warning it emits every
+    100 trials (gymnasium.logger.warn — signal-based timeouts are unreliable
+    here: the TPU tunnel client masks SIGALRM) and move to an alternate
+    seed, which is policy-independent and therefore fair."""
+    from gymnasium import logger as gym_logger
+
+    orig_warn = gym_logger.warn
+
+    def guarded_warn(msg, *a, **kw):
+        if 'No valid configuration found within' in str(msg):
+            # the message carries the trial counter: 'within N trails'
+            try:
+                n = int(str(msg).split('within')[1].split('trails')[0].strip())
+            except (IndexError, ValueError):
+                n = max_trials
+            if n >= max_trials:
+                raise _ResetStall
+            return  # suppress the per-100-trials spam below the bound
+        return orig_warn(msg, *a, **kw)
+
+    gym_logger.warn = guarded_warn
+    try:
+        for attempt in range(10):
+            try:
+                return env.reset(seed=seed + attempt * 1_000_003)
+            except _ResetStall:
+                log(f'  reference reset stalled (unsatisfiable sample, seed {seed + attempt * 1_000_003}); '
+                    f'skipping to alternate seed')
+    finally:
+        gym_logger.warn = orig_warn
+    raise RuntimeError('reference reset stalled on 10 consecutive seeds')
+
+
 def eval_in_reference(family: str, policy_fn, episodes: int, seed: int = 100, log=print):
     """Sequential Gymnasium loop over the REFERENCE MuJoCo env (the scoring
     the policy would face in production)."""
@@ -300,7 +348,7 @@ def eval_in_reference(family: str, policy_fn, episodes: int, seed: int = 100, lo
     rets = []
     t0 = time.time()
     for ep in range(episodes):
-        obs, info = env.reset(seed=seed + ep)
+        obs, info = _reset_with_timeout(env, seed + ep, log=log)
         ret, done, any_s, last_info = 0.0, False, False, {}
         while not done:
             vec = np.concatenate(
@@ -336,7 +384,7 @@ def run_family(family: str, episodes: int, train_iters: int | None, seed: int, l
         model = planning
     elif family == 'pushing-ppo':
         log(f'[{family}] training in-engine (PPO, dense shaping) ...')
-        policy, (config, params) = train_pushing_ppo(iters=train_iters or 12000, seed=seed, log=log)
+        policy, (config, params) = train_pushing_ppo(iters=train_iters or 30000, seed=seed, log=log)
         model = pushing
     else:
         log(f'[{family}] training in-engine ...')
