@@ -325,8 +325,13 @@ def bench_training_rollout(batch=BATCH, reactive=True, hidden=(256, 256)):
     pol = ppo.init_params(jax.random.PRNGKey(0), cfg)
     state, obs, _ = jax.block_until_ready(pushing.init_batch(config, params, jax.random.PRNGKey(1), batch))
 
-    def policy_step(p, k, obs_vec):
-        action, raw, logp, value = ppo.sample_action(p, obs_vec, k, cfg.action_scale)
+    def policy_step(p, eps_t, obs_pm):
+        # plane-major [12, B] -> [2, B] (ppo.apply_pm): zero per-step
+        # relayout; exploration noise is pre-drawn for the whole rollout
+        # (ppo.make_train_step_reactive does exactly this)
+        mu, log_std, value = ppo.apply_pm(p, obs_pm)
+        action = jnp.clip(mu + jnp.exp(log_std)[:, None] * eps_t,
+                          -cfg.action_scale, cfg.action_scale)
         return action, value  # carry the value like a PPO rollout would
 
     if reactive:
@@ -335,7 +340,8 @@ def bench_training_rollout(batch=BATCH, reactive=True, hidden=(256, 256)):
         @jax.jit
         def roll(state, pol, key, seed):
             key, sub = jax.random.split(key)
-            s, traj, last = roll_fn(state, pol, sub, seed)
+            eps = jax.random.normal(sub, (ROLLOUT_T, 2, batch), jnp.float32)
+            s, traj, last = roll_fn(state, pol, sub, seed, policy_xs=eps)
             return s, key, traj[2].mean()
     else:
         fused = pushing.make_fused_step_autoreset(config, params)
@@ -353,7 +359,7 @@ def bench_training_rollout(batch=BATCH, reactive=True, hidden=(256, 256)):
 
             def body(carry, k):
                 s, vec = carry
-                action, aux = policy_step(pol, k, vec)
+                action = ppo.sample_action(pol, vec, k, cfg.action_scale)[0]
                 s, obs, rew, te, tr, info = fused(s, action)
                 return (s, _vec(obs)), rew.mean()
 

@@ -1038,9 +1038,11 @@ def make_reactive_rollout(
     the design and the documented RNG/first-obs differences vs the per-step
     path).  Single-mover fused configs only.
 
-    ``policy_step(pol, key, obs_vec [B, 6]) -> (action [B, 2], aux)`` —
-    ``obs_vec`` is the standard goal-env concat [vel, achieved, desired]
-    (the layout PPO trains on, tools/transfer_eval._obs_vec).
+    ``policy_step(pol, key, obs_pm [6, B]) -> (action [2, B], aux)`` —
+    PLANE-MAJOR on both sides (``ppo.apply_pm``): the features are the
+    standard goal-env concat [vel, achieved, desired] stacked batch-last
+    (the layout PPO trains on, tools/transfer_eval._obs_vec), assembled
+    from the kernel's observation planes with zero per-step relayout.
 
     Returns ``rollout(state, pol, key, seed) -> (final PlanningState, traj,
     last_obs_vec)``; ``traj = (obs_vec, aux, reward, terminated, truncated,
@@ -1060,9 +1062,10 @@ def make_reactive_rollout(
     max_steps = float(config.max_episode_steps)
 
     def features(vx, vy, agx, agy, gx, gy):
-        return jnp.stack([c.reshape(-1) for c in (vx, vy, agx, agy, gx, gy)], axis=-1)
+        # plane-major [6, B]: layout-free reshapes + an axis-0 concat
+        return jnp.stack([c.reshape(-1) for c in (vx, vy, agx, agy, gx, gy)], axis=0)
 
-    def rollout(state: PlanningState, pol, key, seed):
+    def rollout(state: PlanningState, pol, key, seed, policy_xs=None):
         b0 = state.pos.shape[0]
         state, _, b = _pad_rollout_batch(state, jnp.zeros((1, b0, 2), jnp.float32), b0)
         rows = b // 128
@@ -1079,12 +1082,17 @@ def make_reactive_rollout(
         )
         obs0 = (planes0[2], planes0[3], planes0[0], planes0[1])  # vel, achieved
 
-        def body(carry, t):
+        def body(carry, x):
+            t, x_t = x
             planes, obs_pl = carry
             obs_vec = features(*obs_pl, planes[6], planes[7])
-            action, aux = policy_step(pol, jax.random.fold_in(key, t), obs_vec)
+            # policy_xs (e.g. pre-drawn PPO exploration noise) replaces the
+            # per-step fold_in+draw — one vectorized draw outside the scan
+            # instead of T in-scan threefry calls (~1 us/step on v5e)
+            k_t = x_t if policy_xs is not None else jax.random.fold_in(key, t)
+            action, aux = policy_step(pol, k_t, obs_vec)
             action = jnp.clip(jnp.asarray(action, jnp.float32), -a_max, a_max)
-            a_pl = (action[:, 0].reshape(rows, 128), action[:, 1].reshape(rows, 128))
+            a_pl = (action[0].reshape(rows, 128), action[1].reshape(rows, 128))
             outs = raw(planes, a_pl, seed + t)
             new_planes = tuple(outs[:9])
             wall = outs[19]
@@ -1105,10 +1113,11 @@ def make_reactive_rollout(
             out_t = (obs_vec, aux, rew.reshape(-1), term.reshape(-1), trunc.reshape(-1), final_vec)
             return (new_planes, new_obs), out_t
 
+        ts = jnp.arange(num_steps, dtype=jnp.int32)
         (planes, obs_pl), traj = jax.lax.scan(
-            body, (planes0, obs0), jnp.arange(num_steps, dtype=jnp.int32)
+            body, (planes0, obs0), (ts, policy_xs if policy_xs is not None else ts)
         )
-        last_obs_vec = features(*obs_pl, planes[6], planes[7])[:b0]
+        last_obs_vec = features(*obs_pl, planes[6], planes[7])[:, :b0].T
 
         def pair(i):
             return jnp.stack([planes[i].reshape(b), planes[i + 1].reshape(b)], -1).astype(dtype)
@@ -1125,8 +1134,15 @@ def make_reactive_rollout(
         )
         final = jax.tree_util.tree_map(lambda x: x[:b0], final)
         obs_vec, aux, rew, term, trunc, final_vec = traj
-        traj = (obs_vec[:, :b0], jax.tree_util.tree_map(lambda x: x[:, :b0], aux),
-                rew[:, :b0].astype(dtype), term[:, :b0], trunc[:, :b0], final_vec[:, :b0])
+        # one relayout per rollout: features leave the scan plane-major
+        # [T, F, B], the PPO update consumes [T, B, F]; aux stays batch-last
+        # every traj leaf leaves as [T, B, ...]: per-step aux is batch-LAST
+        # (plane-major), so move its trailing batch axis to axis 1 — one
+        # relayout per rollout, and a uniform P(None, 'data') sharding spec
+        traj = (obs_vec[..., :b0].transpose(0, 2, 1),
+                jax.tree_util.tree_map(lambda x: jnp.moveaxis(x[..., :b0], -1, 1), aux),
+                rew[:, :b0].astype(dtype), term[:, :b0], trunc[:, :b0],
+                final_vec[..., :b0].transpose(0, 2, 1))
         return final, traj, last_obs_vec
 
     return rollout

@@ -68,6 +68,32 @@ def apply(params: dict, obs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp
     return mu, params['log_std'], value
 
 
+def apply_pm(params: dict, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Plane-major ``apply``: features as ``[F, B]`` (the layout the Pallas
+    plane kernels produce for free), outputs ``(mu [A, B], log_std, value
+    [B])``.  Mathematically the transpose of :func:`apply` — the MXU does
+    not care which operand carries the batch, but the reactive plane-form
+    rollout saves a per-step relayout on both the feature and action sides
+    by staying plane-major end to end."""
+    for layer in params['trunk']:
+        x = jnp.tanh(jnp.dot(layer['w'].T, x, preferred_element_type=jnp.float32) + layer['b'][:, None])
+    mu = jnp.dot(params['mu']['w'].T, x, preferred_element_type=jnp.float32) + params['mu']['b'][:, None]
+    value = (jnp.dot(params['value']['w'].T, x, preferred_element_type=jnp.float32) + params['value']['b'][:, None])[0]
+    return mu, params['log_std'], value
+
+
+def sample_action_pm(params: dict, obs_pm: jnp.ndarray, key: jax.Array, scale: float):
+    """Plane-major :func:`sample_action`: ``obs_pm [F, B] -> (action [A, B],
+    raw [A, B], logp [B], value [B])``."""
+    mu, log_std, value = apply_pm(params, obs_pm)
+    noise = jax.random.normal(key, mu.shape, mu.dtype)
+    raw = mu + jnp.exp(log_std)[:, None] * noise
+    logp = (-0.5 * ((raw - mu) / jnp.exp(log_std)[:, None]) ** 2
+            - log_std[:, None] - 0.5 * jnp.log(2 * jnp.pi)).sum(0)
+    action = jnp.clip(raw, -scale, scale)
+    return action, raw, logp, value
+
+
 def sample_action(params: dict, obs: jnp.ndarray, key: jax.Array, scale: float):
     """Sample a Gaussian action; returns (clipped action, pre-clip raw
     sample, its log-prob, and the value estimate).  The raw sample is what
@@ -157,8 +183,22 @@ def make_train_step_reactive(cfg: PPOConfig, make_rollout):
     """
     optimizer = optax.adam(cfg.learning_rate)
 
-    def policy_step(pol, k, obs_vec):
-        action, raw, logp, value = sample_action(pol, obs_vec, k, cfg.action_scale)
+    def policy_step(pol, k_or_eps, obs_pm):
+        # PLANE-MAJOR contract: obs features arrive [F, B] straight from the
+        # kernel's observation planes; actions leave [A, B] straight into
+        # action planes — zero per-step relayout (apply_pm docstring).
+        # The train step pre-draws the exploration noise for the whole
+        # rollout and passes per-step [A, B] slices via ``policy_xs`` (one
+        # vectorized draw instead of T in-scan threefry calls); a PRNG key
+        # (uint dtype) still works for standalone use.
+        if jnp.issubdtype(k_or_eps.dtype, jnp.floating):
+            mu, log_std, value = apply_pm(pol, obs_pm)
+            raw = mu + jnp.exp(log_std)[:, None] * k_or_eps
+            logp = (-0.5 * ((raw - mu) / jnp.exp(log_std)[:, None]) ** 2
+                    - log_std[:, None] - 0.5 * jnp.log(2 * jnp.pi)).sum(0)
+            action = jnp.clip(raw, -cfg.action_scale, cfg.action_scale)
+        else:
+            action, raw, logp, value = sample_action_pm(pol, obs_pm, k_or_eps, cfg.action_scale)
         return action, (raw, logp, value)
 
     reactive_rollout = make_rollout(policy_step)
@@ -166,7 +206,13 @@ def make_train_step_reactive(cfg: PPOConfig, make_rollout):
     def train_step(runner):
         env_state, params, opt_state, key, seed = runner
         key, k_roll = jax.random.split(key)
-        env_state, traj_t, last_obs_vec = reactive_rollout(env_state, params, k_roll, seed)
+        batch = jax.tree_util.tree_leaves(env_state)[0].shape[0]
+        eps = jax.random.normal(
+            k_roll, (cfg.rollout_steps, cfg.action_dim, batch), jnp.float32
+        )
+        env_state, traj_t, last_obs_vec = reactive_rollout(
+            env_state, params, k_roll, seed, policy_xs=eps
+        )
         obs_vec, (raw, logp, value), reward, term, trunc, final_vec = traj_t
         _, _, last_value = apply(params, last_obs_vec)
         _, _, final_value = apply(params, final_vec)

@@ -837,11 +837,14 @@ def make_reactive_rollout(
     run at the plane-form rate instead of paying the per-step pack/unpack
     glue of the per-step fused path.
 
-    ``policy_step(pol, key, obs_vec [B, 12]) -> (action [B, 2], aux pytree)``
-    — ``obs_vec`` is the 12-feature layout of the training recipes
+    ``policy_step(pol, key, obs_pm [12, B]) -> (action [2, B], aux pytree)``
+    — PLANE-MAJOR on both sides (``ppo.apply_pm`` / ``sample_action_pm``):
+    the 12 features are the training recipes' layout
     (tools/transfer_eval._pushing_vec: mover pos+vel, achieved, desired,
-    achieved-mover, desired-achieved); ``aux`` is stacked over steps (PPO
-    puts (raw, logp, value) there).
+    achieved-mover, desired-achieved) stacked batch-last, which assembles
+    from the kernel's observation planes and feeds back into action planes
+    with ZERO per-step relayout; ``aux`` is stacked over steps (PPO puts
+    (raw [A, B], logp [B], value [B]) there, returned batch-last).
 
     Returns ``rollout(state, pol, key, seed) -> (final PushingState, traj,
     last_obs_vec)`` with ``traj = (obs_vec [T,B,F], aux, reward [T,B],
@@ -862,7 +865,7 @@ def make_reactive_rollout(
     assert not config.learn_jerk, 'reactive rollout: acc mode only (the 12-feature recipe layout)'
     assert np.asarray(params.v_max).dtype == np.float32, 'f64 parity mode has no fused kernel'
     fused = pallas_step.make_fused_pushing_autoreset_cycles(
-        config, params, interpret=interpret, cand_k=cand_k
+        config, params, interpret=interpret, cand_k=cand_k, emit_features=True
     )
     raw = fused.raw_planes
     a_max = params.a_max
@@ -870,13 +873,16 @@ def make_reactive_rollout(
     max_steps = float(config.max_episode_steps)
 
     def features(mpx, mpy, mvx, mvy, agx, agy, gx, gy):
-        """[rows, 128] planes -> [B, 12] policy features (plane reshapes are
-        layout-free; the stack fuses into the first matmul's operand)."""
+        """[rows, 128] planes -> PLANE-MAJOR [12, rows, 128] feature block —
+        only used for the FIRST step's (noise-free) observation; every
+        subsequent step consumes the kernel-emitted contiguous block
+        (pallas_step._pushing_autoreset_kernel emit_features), whose [12, B]
+        policy view is a free reshape."""
         cols = (mpx, mpy, mvx, mvy, agx, agy, gx, gy,
                 agx - mpx, agy - mpy, gx - agx, gy - agy)
-        return jnp.stack([c.reshape(-1) for c in cols], axis=-1)
+        return jnp.stack(cols, axis=0)
 
-    def rollout(state: PushingState, pol, key, seed):
+    def rollout(state: PushingState, pol, key, seed, policy_xs=None):
         from gymnasium_planar_robotics_tpu.models.planning import _pad_rollout_batch
 
         b0 = state.pos.shape[0]
@@ -899,32 +905,34 @@ def make_reactive_rollout(
                     plane(state.goal, 0), plane(state.goal, 1), scalar_plane(state.steps)]
         planes0 = tuple(planes0)
         # first observation from state planes (noise-free; see docstring)
-        obs0 = (planes0[0], planes0[1], planes0[2], planes0[3], planes0[8], planes0[9])
+        feat0 = features(planes0[0], planes0[1], planes0[2], planes0[3],
+                         planes0[8], planes0[9], planes0[16], planes0[17])
 
-        def body(carry, t):
-            planes, obs_pl = carry
-            obs_vec = features(*obs_pl, planes[16], planes[17])
-            action, aux = policy_step(pol, jax.random.fold_in(key, t), obs_vec)
+        def body(carry, x):
+            t, x_t = x
+            planes, feat = carry
+            obs_vec = feat.reshape(12, -1)  # free: the block is contiguous
+            # policy_xs (e.g. pre-drawn PPO exploration noise) replaces the
+            # per-step fold_in+draw — one vectorized draw outside the scan
+            # instead of T in-scan threefry calls (~1 us/step on v5e)
+            k_t = x_t if policy_xs is not None else jax.random.fold_in(key, t)
+            action, aux = policy_step(pol, k_t, obs_vec)
             action = jnp.clip(jnp.asarray(action, jnp.float32), -a_max, a_max)
-            a_pl = (action[:, 0].reshape(rows, 128), action[:, 1].reshape(rows, 128))
+            a_pl = (action[0].reshape(rows, 128), action[1].reshape(rows, 128))
             outs = raw(planes, a_pl, seed + t)
             new_planes = tuple(outs[:19])
             wall = outs[33]
-            # pre-reset (final) observation features vs the OLD goal
-            final_vec = features(outs[25], outs[26], outs[27], outs[28],
-                                 outs[29], outs[30], planes[16], planes[17])
-            ddx = outs[29] - planes[16]
-            ddy = outs[30] - planes[17]
-            d_og = jnp.sqrt(ddx * ddx + ddy * ddy)
+            feat_fin = outs[37]  # pre-reset features (kernel-emitted block)
+            # reference scoring from the feature block's own difference rows:
+            # rows 10/11 = old_goal - achieved, rows 8/9 = achieved - mover
+            d_og = jnp.sqrt(feat_fin[10] * feat_fin[10] + feat_fin[11] * feat_fin[11])
             reached = d_og <= thr
             trunc = planes[18] + 1.0 >= max_steps
             term = wall > 0.5
             if dense_reward:
                 # the training shaping of _step_core's dense mode, from the
-                # pre-reset observation planes
-                dmx = outs[29] - outs[25]
-                dmy = outs[30] - outs[26]
-                d_mo = jnp.sqrt(dmx * dmx + dmy * dmy)
+                # pre-reset observation features
+                d_mo = jnp.sqrt(feat_fin[8] * feat_fin[8] + feat_fin[9] * feat_fin[9])
                 approach = -0.3 * jnp.maximum(d_mo - 0.105, 0.0)
                 retreat = 0.5 * jnp.minimum(d_mo, 0.15)
                 shaped = -d_og + jnp.where(reached, retreat, approach)
@@ -932,14 +940,15 @@ def make_reactive_rollout(
             else:
                 rew = jnp.where(term, REWARD_WALL_COLLISION,
                                 jnp.where(reached, 0.0, -1.0))
-            new_obs = (outs[19], outs[20], outs[21], outs[22], outs[23], outs[24])
-            out_t = (obs_vec, aux, rew.reshape(-1), term.reshape(-1), trunc.reshape(-1), final_vec)
-            return (new_planes, new_obs), out_t
+            out_t = (obs_vec, aux, rew.reshape(-1), term.reshape(-1), trunc.reshape(-1),
+                     feat_fin.reshape(12, -1))
+            return (new_planes, outs[36]), out_t
 
-        (planes, obs_pl), traj = jax.lax.scan(
-            body, (planes0, obs0), jnp.arange(num_steps, dtype=jnp.int32)
+        ts = jnp.arange(num_steps, dtype=jnp.int32)
+        (planes, feat), traj = jax.lax.scan(
+            body, (planes0, feat0), (ts, policy_xs if policy_xs is not None else ts)
         )
-        last_obs_vec = features(*obs_pl, planes[16], planes[17])[:b0]
+        last_obs_vec = feat.reshape(12, -1)[:, :b0].T
 
         def pair(i):
             return jnp.stack([planes[i].reshape(b), planes[i + 1].reshape(b)], -1).astype(dtype)
@@ -956,8 +965,17 @@ def make_reactive_rollout(
         )
         final = jax.tree_util.tree_map(lambda x: x[:b0], final)
         obs_vec, aux, rew, term, trunc, final_vec = traj
-        traj = (obs_vec[:, :b0], jax.tree_util.tree_map(lambda x: x[:, :b0], aux),
-                rew[:, :b0].astype(dtype), term[:, :b0], trunc[:, :b0], final_vec[:, :b0])
+        # ONE relayout per rollout (vs one per step): obs/final features come
+        # out of the scan plane-major [T, F, B] and the PPO update consumes
+        # [T, B, F]; aux leaves ([T, A, B] actions, [T, B] scalars) keep the
+        # plane-major batch-last layout (the caller transposes what it needs)
+        # every traj leaf leaves as [T, B, ...]: per-step aux is batch-LAST
+        # (plane-major), so move its trailing batch axis to axis 1 — one
+        # relayout per rollout, and a uniform P(None, 'data') sharding spec
+        traj = (obs_vec[..., :b0].transpose(0, 2, 1),
+                jax.tree_util.tree_map(lambda x: jnp.moveaxis(x[..., :b0], -1, 1), aux),
+                rew[:, :b0].astype(dtype), term[:, :b0], trunc[:, :b0],
+                final_vec[..., :b0].transpose(0, 2, 1))
         return final, traj, last_obs_vec
 
     return rollout

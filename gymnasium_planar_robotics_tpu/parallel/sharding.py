@@ -190,18 +190,34 @@ def make_sharded_reactive_rollout(
         dev = jax.lax.axis_index(axis_name)
         return roll(state, pol, jax.random.fold_in(key, dev), seed + dev * jnp.int32(1 << 20))
 
+    def local_xs(state, pol, key, seed, xs):
+        dev = jax.lax.axis_index(axis_name)
+        return roll(state, pol, jax.random.fold_in(key, dev),
+                    seed + dev * jnp.int32(1 << 20), policy_xs=xs)
+
     spec = P(axis_name)
     # traj = (obs_vec [T,B,F], aux pytree [T,B,...], reward/term/trunc [T,B],
     # final_vec [T,B,F]) — all batch-on-axis-1
+    out_specs = (spec, P(None, axis_name), spec)
     sharded = jax.shard_map(
         local, mesh=mesh,
         in_specs=(spec, P(), P(), P()),
-        out_specs=(spec, P(None, axis_name), spec),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    # policy_xs leaves are batch-LAST [T, ..., B] (e.g. PPO's pre-drawn
+    # exploration noise [T, A, B]) and shard with the batch
+    sharded_xs = jax.shard_map(
+        local_xs, mesh=mesh,
+        in_specs=(spec, P(), P(), P(), P(None, None, axis_name)),
+        out_specs=out_specs,
         check_vma=False,
     )
 
-    def rollout(state, pol, key, seed):
-        return sharded(state, pol, key, jnp.asarray(seed, jnp.int32))
+    def rollout(state, pol, key, seed, policy_xs=None):
+        if policy_xs is None:
+            return sharded(state, pol, key, jnp.asarray(seed, jnp.int32))
+        return sharded_xs(state, pol, key, jnp.asarray(seed, jnp.int32), policy_xs)
 
     return rollout
 

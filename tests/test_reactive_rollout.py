@@ -36,9 +36,9 @@ def test_reactive_constant_policy_matches_fused_rollout_pushing():
     config, params = _push_env()
     B, T = 128, 3
     state, _, _ = pushing.init_batch(config, params, jax.random.PRNGKey(0), B)
-    const_action = jnp.tile(jnp.asarray([[2.0, 1.0]], jnp.float32), (B, 1))
+    const_action = jnp.tile(jnp.asarray([[2.0], [1.0]], jnp.float32), (1, B))  # plane-major [2, B]
 
-    def policy_step(pol, k, obs_vec):
+    def policy_step(pol, k, obs_pm):
         return const_action, ()
 
     reactive = pushing.make_reactive_rollout(config, params, policy_step, T, interpret=True)
@@ -46,7 +46,7 @@ def test_reactive_constant_policy_matches_fused_rollout_pushing():
     _, _, rew_r, term_r, trunc_r, _ = traj
 
     rollout = pushing.make_fused_rollout(config, params, interpret=True)
-    acts = jnp.tile(const_action[None], (T, 1, 1))
+    acts = jnp.tile(const_action.T[None], (T, 1, 1))
     final_f, rew_f, term_f, trunc_f = jax.jit(lambda s: rollout(s, acts, 7))(state)
 
     np.testing.assert_array_equal(np.asarray(final_r.pos), np.asarray(final_f.pos))
@@ -60,9 +60,9 @@ def test_reactive_constant_policy_matches_fused_rollout_planning():
     config, params = _plan_env()
     B, T = 128, 3
     state, _, _ = planning.init_batch(config, params, jax.random.PRNGKey(0), B)
-    const_action = jnp.tile(jnp.asarray([[3.0, -2.0]], jnp.float32), (B, 1))
+    const_action = jnp.tile(jnp.asarray([[3.0], [-2.0]], jnp.float32), (1, B))  # plane-major [2, B]
 
-    def policy_step(pol, k, obs_vec):
+    def policy_step(pol, k, obs_pm):
         return const_action, ()
 
     reactive = planning.make_reactive_rollout(config, params, policy_step, T, interpret=True)
@@ -70,7 +70,7 @@ def test_reactive_constant_policy_matches_fused_rollout_planning():
     _, _, rew_r, _, _, _ = traj
 
     rollout = planning.make_fused_rollout(config, params, interpret=True)
-    acts = jnp.tile(const_action[None], (T, 1, 1)).reshape(T, B, 1, 2)
+    acts = jnp.tile(const_action.T[None], (T, 1, 1)).reshape(T, B, 1, 2)
     final_f, rew_f, _, _ = jax.jit(lambda s: rollout(s, acts, 3))(state)
 
     np.testing.assert_array_equal(np.asarray(final_r.pos), np.asarray(final_f.pos))

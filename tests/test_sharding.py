@@ -287,8 +287,8 @@ def test_sharded_reactive_rollout_runs_and_is_deterministic():
                         action_scale=10.0)
     pol = ppo.init_params(jax.random.PRNGKey(0), cfg)
 
-    def policy_step(p, k, obs_vec):
-        action, raw, logp, value = ppo.sample_action(p, obs_vec, k, cfg.action_scale)
+    def policy_step(p, k, obs_pm):
+        action, raw, logp, value = ppo.sample_action_pm(p, obs_pm, k, cfg.action_scale)
         return action, (raw, logp, value)
 
     roll = sharding.make_sharded_reactive_rollout(
