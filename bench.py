@@ -30,21 +30,50 @@ def _log(msg: str) -> None:
 
 
 BATCH = 4096
-ROLLOUT_T = 512  # env-steps per jitted rollout call (long rollouts amortize
-# the per-call dispatch/tunnel overhead of ~3 ms: at 64 steps the fused
-# kernels were dispatch-bound and under-reported by ~2x)
-TIMED_CALLS = 3
-TIMED_BLOCKS = 6  # best-of blocks: tunnel latency jitters between runs
+ROLLOUT_T = 512  # env-steps per jitted rollout call
 
 
-def _best_rate(run_block, steps_per_block: int, blocks: int = TIMED_BLOCKS) -> float:
-    run_block()  # warmup (first post-compile block runs cold over the tunnel)
-    best = 0.0
-    for _ in range(blocks):
+def _fetch(x) -> None:
+    """Force completion of the computation producing ``x`` by copying one
+    output leaf to the host.  On the tunneled ``axon`` backend this is the
+    ONLY reliable synchronization: ``jax.block_until_ready`` returns without
+    waiting for device completion (measured round 5: a 512-step 4096-env
+    rollout "became ready" in 0.15 ms; its true device time is 8.6 ms)."""
+    np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0]))
+
+
+def _chained_rate(call, steps_per_call: int, n_lo: int = 2, n_hi: int = 18,
+                  reps: int = 3) -> float:
+    """True device throughput of ``call`` (round-5 timing methodology).
+
+    ``call()`` must run one jitted rollout whose inputs depend on the
+    previous call's outputs (thread the carry through a closure), so a chain
+    of calls executes serially on the device, and must return an output of
+    that rollout.  The rate is the (n_hi - n_lo)-call SLOPE of wall time vs
+    chain length with a single host fetch at the end of each chain: the
+    host-side dispatch is asynchronous and a scalar fetch over the tunnel
+    pays a ~25 ms round trip, so any single-chain timing mixes a large
+    constant into the measurement — the slope cancels it exactly.  Earlier
+    rounds timed blocks closed by ``jax.block_until_ready``, which on this
+    backend does not wait (see ``_fetch``); those numbers under-reported the
+    fast kernels by ~2x (fetch overhead counted as device time).  Median of
+    ``reps`` repetitions; repetitions agree to <1% on an idle chip."""
+    _fetch(call())  # warmup: compile + cold tunnel paths
+    rates = []
+    for _ in range(reps):
         t0 = time.perf_counter()
-        run_block()
-        best = max(best, steps_per_block / (time.perf_counter() - t0))
-    return best
+        for _ in range(n_lo):
+            r = call()
+        _fetch(r)
+        d_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(n_hi):
+            r = call()
+        _fetch(r)
+        d_hi = time.perf_counter() - t0
+        rates.append((n_hi - n_lo) * steps_per_call / (d_hi - d_lo))
+    rates.sort()
+    return rates[len(rates) // 2]
 
 # reference CPU rates measured on this machine (BASELINE.md)
 REF_PUSHING = 79.0
@@ -65,14 +94,12 @@ def _throughput(config, params, step_autoreset_fn, init_batch_fn, action_dim, ba
     _log(f'bench: rollout compiled in {time.perf_counter() - t_c:.0f}s')
     box = [state, obs, key]
 
-    def run_block():
-        s, o, k = box
-        for _ in range(TIMED_CALLS):
-            s, o, k, metrics = roll(s, o, k)
-        jax.block_until_ready(metrics)
+    def call():
+        s, o, k, metrics = roll(*box)
         box[:] = [s, o, k]
+        return metrics
 
-    return _best_rate(run_block, batch * ROLLOUT_T * TIMED_CALLS)
+    return _chained_rate(call, batch * ROLLOUT_T)
 
 
 def bench_pushing(batch=BATCH, fused=True, n_mesh_devices=None, **env_kwargs):
@@ -111,14 +138,12 @@ def bench_pushing(batch=BATCH, fused=True, n_mesh_devices=None, **env_kwargs):
     _log(f'bench: fused pushing compiled in {time.perf_counter() - t_c:.0f}s')
     box = [state, key]
 
-    def run_block():
-        s, k = box
-        for _ in range(TIMED_CALLS):
-            s, k, rs = roll(s, k)
-        jax.block_until_ready(rs)
+    def call():
+        s, k, rs = roll(*box)
         box[:] = [s, k]
+        return rs
 
-    return _best_rate(run_block, batch * ROLLOUT_T * TIMED_CALLS)
+    return _chained_rate(call, batch * ROLLOUT_T)
 
 
 def bench_planning(batch=BATCH, num_movers=1, layout=None):
@@ -226,14 +251,12 @@ def bench_planning_fused(batch=BATCH, num_movers=1, layout=None, n_mesh_devices=
     state, key, rs = jax.block_until_ready(roll(state, key))
     box = [state, key]
 
-    def run_block():
-        s, k = box
-        for _ in range(TIMED_CALLS):
-            s, k, rs = roll(s, k)
-        jax.block_until_ready(rs)
+    def call():
+        s, k, rs = roll(*box)
         box[:] = [s, k]
+        return rs
 
-    return _best_rate(run_block, batch * ROLLOUT_T * TIMED_CALLS)
+    return _chained_rate(call, batch * ROLLOUT_T)
 
 
 def bench_planning_rollout(batch=BATCH, num_movers=1, layout=None, **env_kwargs):
@@ -264,15 +287,13 @@ def bench_planning_rollout(batch=BATCH, num_movers=1, layout=None, **env_kwargs)
     state, key, rs = jax.block_until_ready(roll(state, key, 0))
     box = [state, key, 1]
 
-    def run_block():
+    def call():
         s, k, seed = box
-        for _ in range(TIMED_CALLS):
-            s, k, rs = roll(s, k, seed)
-            seed += ROLLOUT_T
-        jax.block_until_ready(rs)
-        box[:] = [s, k, seed]
+        s, k, rs = roll(s, k, seed)
+        box[:] = [s, k, seed + ROLLOUT_T]
+        return rs
 
-    return _best_rate(run_block, batch * ROLLOUT_T * TIMED_CALLS)
+    return _chained_rate(call, batch * ROLLOUT_T)
 
 
 def bench_pushing_rollout(batch=BATCH, **env_kwargs):
@@ -296,15 +317,13 @@ def bench_pushing_rollout(batch=BATCH, **env_kwargs):
     state, key, rs = jax.block_until_ready(roll(state, key, 0))
     box = [state, key, 1]
 
-    def run_block():
+    def call():
         s, k, seed = box
-        for _ in range(TIMED_CALLS):
-            s, k, rs = roll(s, k, seed)
-            seed += ROLLOUT_T
-        jax.block_until_ready(rs)
-        box[:] = [s, k, seed]
+        s, k, rs = roll(s, k, seed)
+        box[:] = [s, k, seed + ROLLOUT_T]
+        return rs
 
-    return _best_rate(run_block, batch * ROLLOUT_T * TIMED_CALLS)
+    return _chained_rate(call, batch * ROLLOUT_T)
 
 
 def bench_training_rollout(batch=BATCH, reactive=True, hidden=(256, 256)):
@@ -370,15 +389,13 @@ def bench_training_rollout(batch=BATCH, reactive=True, hidden=(256, 256)):
     state, key, rs = jax.block_until_ready(roll(state, pol, key, 0))
     box = [state, key, 1]
 
-    def run_block():
+    def call():
         s, k, seed = box
-        for _ in range(TIMED_CALLS):
-            s, k, rs = roll(s, pol, k, seed)
-            seed += ROLLOUT_T
-        jax.block_until_ready(rs)
-        box[:] = [s, k, seed]
+        s, k, rs = roll(s, pol, k, seed)
+        box[:] = [s, k, seed + ROLLOUT_T]
+        return rs
 
-    return _best_rate(run_block, batch * ROLLOUT_T * TIMED_CALLS)
+    return _chained_rate(call, batch * ROLLOUT_T)
 
 
 def bench_multiagent(batch=4096, num_agents=4):
@@ -411,14 +428,12 @@ def bench_multiagent(batch=4096, num_agents=4):
     state, key, rs = jax.block_until_ready(roll(state, key))  # compile
     box = [state, key]
 
-    def run_block():
-        s, k = box
-        for _ in range(TIMED_CALLS):
-            s, k, rs = roll(s, k)
-        jax.block_until_ready(rs)
+    def call():
+        s, k, rs = roll(*box)
         box[:] = [s, k]
+        return rs
 
-    return _best_rate(run_block, batch * ROLLOUT_T * TIMED_CALLS)
+    return _chained_rate(call, batch * ROLLOUT_T)
 
 
 def bench_mixed(batch_each=2048):
@@ -452,14 +467,12 @@ def bench_mixed(batch_each=2048):
     ps, qs, key, ms = jax.block_until_ready(roll(ps, qs, key))
     box = [ps, qs, key]
 
-    def run_block():
-        p_, q_, k_ = box
-        for _ in range(TIMED_CALLS):
-            p_, q_, k_, ms = roll(p_, q_, k_)
-        jax.block_until_ready(ms)
+    def call():
+        p_, q_, k_, ms = roll(*box)
         box[:] = [p_, q_, k_]
+        return ms
 
-    return _best_rate(run_block, 2 * batch_each * ROLLOUT_T * TIMED_CALLS)
+    return _chained_rate(call, 2 * batch_each * ROLLOUT_T)
 
 
 # ---------------------------------------------------------------------------
@@ -494,56 +507,81 @@ ROOFLINE_KERNELS = {
 
 def _microbench_peaks():
     """Empirical device peaks: VPU f32 FMA rate, transcendental rate, HBM
-    copy bandwidth — measured on the SAME chip/protocol as the kernels, so
-    fraction-of-peak is apples-to-apples."""
+    streaming bandwidth — measured on the SAME chip/protocol as the kernels,
+    so fraction-of-peak is apples-to-apples.  Each timed call runs tens of
+    milliseconds of device work (the ~3 ms tunnel dispatch would otherwise
+    dominate and the reading jittered 7x between runs), and the reported
+    peak is the min-time of 5 individually blocked calls."""
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     interp = jax.default_backend() == 'cpu'
-    R, L, K = 256, 128, 2048
+    cheap = 64 if interp else 1  # CPU interpret mode only smoke-tests this
+    R, L = 512, 128
+    K_F = (1 << 20) // cheap  # FMA chain iterations (~137 Gflop/call on TPU)
+    K_T = (1 << 15) // cheap  # Box-Muller-shaped iterations (~6.4 Gop/call)
 
     def fma_kern(x_ref, o_ref):
         x = x_ref[:]
+
         def body(i, acc):
             return acc * 1.0000001 + x
-        o_ref[:] = jax.lax.fori_loop(0, K, body, x)
+
+        o_ref[:] = jax.lax.fori_loop(0, K_F, body, x)
 
     def transc_kern(x_ref, o_ref):
         x = x_ref[:]
+
         def body(i, acc):
-            return jnp.exp(acc * 1e-6)
-        o_ref[:] = jax.lax.fori_loop(0, K // 8, body, x)
+            # the kernels' actual transcendental mix (Box-Muller):
+            # log + sqrt + cos per iteration, kept in (0, 1)
+            u = acc * 0.49 + 0.5
+            return jnp.cos(jnp.sqrt(-2.0 * jnp.log(u))) * 0.5 + 0.5
 
-    def run(kern, ops_per_elem):
-        f = jax.jit(lambda x: pl.pallas_call(
-            kern, out_shape=jax.ShapeDtypeStruct((R, L), jnp.float32),
-            interpret=_roofline_interp(interp))(x))
-        x = jnp.ones((R, L), jnp.float32)
-        jax.block_until_ready(f(x))
-        t0 = time.perf_counter()
-        for _ in range(8):
-            y = f(x)
-        jax.block_until_ready(y)
-        dt = (time.perf_counter() - t0) / 8
-        return R * L * ops_per_elem / dt
+        o_ref[:] = jax.lax.fori_loop(0, K_T, body, x)
 
-    def _roofline_interp(interp):
+    def _interp_param():
         from gymnasium_planar_robotics_tpu.ops.pallas_step import _interpret_param
         return _interpret_param(interp)
 
-    vpu = run(fma_kern, 2 * K)  # fma = 2 flops
-    transc = run(transc_kern, K // 8 + K // 8)  # exp + mul per iter -> count exp only: K//8; mul negligible
-    # HBM bandwidth: out-of-VMEM copy, 256 MB of traffic
-    n = 32 * 1024 * 1024
-    cp = jax.jit(lambda x: x * 1.0000001)
-    x = jnp.ones((n,), jnp.float32)
-    jax.block_until_ready(cp(x))
-    t0 = time.perf_counter()
-    for _ in range(8):
-        y = cp(x)
-    jax.block_until_ready(y)
-    bw = 8 * 2 * n * 4 / (time.perf_counter() - t0)
-    return dict(vpu_flops=vpu, transc_ops=transc / 2, hbm_bw=bw)
+    def peak_of(kern, ops_per_call):
+        # chained calls (each input perturbed by the previous output) +
+        # slope timing, exactly like the kernel benches: the tunnel caches
+        # repeated identical executions and does not block on readiness
+        f = jax.jit(lambda s: pl.pallas_call(
+            kern, out_shape=jax.ShapeDtypeStruct((R, L), jnp.float32),
+            interpret=_interp_param())(x + s * 1e-12).sum())
+        box = [jnp.float32(0.0)]
+
+        def call():
+            box[0] = f(box[0])
+            return box[0]
+
+        return _chained_rate(call, ops_per_call, n_lo=1, n_hi=6)
+
+    x = jnp.full((R, L), 0.5, jnp.float32)
+    vpu = peak_of(fma_kern, R * L * K_F * 2)  # fma = 2 flops
+    transc = peak_of(transc_kern, R * L * K_T * 3)  # log+sqrt+cos
+
+    # HBM streaming bandwidth: an array larger than VMEM multiplied K_B
+    # times inside one jitted while-loop — every iteration is a full
+    # HBM read+write pass (XLA cannot fuse across loop iterations), so one
+    # dispatch covers K_B * 2 * |x| bytes of traffic
+    n = (64 * 1024 * 1024) // cheap  # 256 MB f32
+    K_B = 16
+
+    @jax.jit
+    def hbm_fn(y):
+        y = jax.lax.fori_loop(0, K_B, lambda i, y: y * 1.0000001, y)
+        return y, y[0]
+
+    hbox = [jnp.ones((n,), jnp.float32)]
+
+    def hbm_call():
+        hbox[0], s = hbm_fn(hbox[0])
+        return s
+
+    bw = _chained_rate(hbm_call, K_B * 2 * n * 4, n_lo=1, n_hi=6)
+    return dict(vpu_flops=vpu, transc_ops=transc, hbm_bw=bw)
 
 
 def _run_roofline() -> None:

@@ -91,6 +91,10 @@ class _JaxGymEnv(gym.Env):
         self._key, sub = jax.random.split(self._key)
         self._rng_noise = np.random.default_rng(seed)
         self._state, obs, info = self._reset_core(sub, options or {})
+        # ONE batched async device->host transfer: each leaf fetch over a
+        # tunneled chip pays a full ~25 ms round trip, so converting the
+        # obs/info leaves one np.asarray at a time costs ~10x the latency
+        obs, info = jax.device_get((obs, info))
         if self.render_mode is not None:
             self.render()
         self._render_2d_live()
@@ -117,6 +121,10 @@ class _JaxGymEnv(gym.Env):
             self._state, obs, reward, terminated, truncated, info = self._step_jit(
                 self._state, jnp.asarray(action)
             )
+        # ONE batched async device->host transfer (see reset())
+        obs, reward, terminated, truncated, info = jax.device_get(
+            (obs, reward, terminated, truncated, info)
+        )
         # reward-shape guard (basic_envs.py:1943-1948): a scalar or shape-(1,)
         # array; anything else means a broken compute_reward override
         r = np.asarray(reward)
