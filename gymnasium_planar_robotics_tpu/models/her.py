@@ -57,6 +57,17 @@ class HERConfig:
     #: regularizer (keeps the deterministic policy off the action limits,
     #: where DDPG's critic-exploitation divergence starts)
     action_l2: float = 0.0
+    #: TD3-style clipped double-Q (Fujimoto et al. 2018): two critics, the
+    #: Bellman target takes min(Q1', Q2') — removes the overestimation
+    #: spiral that caps plain DDPG on sparse contact rewards.  The round-5
+    #: lever that took pushing HER from 13% to a strong result
+    twin_critic: bool = False
+    #: target policy smoothing: clipped Gaussian noise (std as a fraction of
+    #: action_scale) added to the target action in the Bellman backup
+    target_noise: float = 0.0
+    noise_clip: float = 0.5
+    #: actor/target update every k-th critic update (TD3 delayed policy)
+    policy_delay: int = 1
 
 
 def _mlp_init(key, sizes, dtype=jnp.float32, out_scale=0.01):
@@ -80,11 +91,16 @@ def _mlp(layers, x):
 
 
 def init_params(key: jax.Array, cfg: HERConfig) -> dict:
-    """Initialize DDPG actor/critic MLPs plus their Polyak target copies."""
+    """Initialize DDPG/TD3 actor/critic MLPs plus their Polyak target copies.
+    With ``cfg.twin_critic`` the critic pytree is a 2-element list of
+    independently initialized MLPs (TD3 clipped double-Q)."""
     in_dim = cfg.obs_dim + 2 * cfg.goal_dim
-    k_a, k_c = jax.random.split(key)
+    k_a, k_c, k_c2 = jax.random.split(key, 3)
     actor = _mlp_init(k_a, (in_dim, *cfg.hidden, cfg.action_dim))
-    critic = _mlp_init(k_c, (in_dim + cfg.action_dim, *cfg.hidden, 1), out_scale=1.0)
+    c_sizes = (in_dim + cfg.action_dim, *cfg.hidden, 1)
+    critic = _mlp_init(k_c, c_sizes, out_scale=1.0)
+    if cfg.twin_critic:
+        critic = [critic, _mlp_init(k_c2, c_sizes, out_scale=1.0)]
     return {
         'actor': actor,
         'critic': critic,
@@ -98,9 +114,16 @@ def actor_action(actor, obs_vec, scale):
     return jnp.tanh(_mlp(actor, obs_vec)) * scale
 
 
+def _critic_heads(critic) -> list:
+    """A single critic is an MLP (list of layer dicts); a twin critic is a
+    2-element list of such MLPs."""
+    return critic if isinstance(critic[0], list) else [critic]
+
+
 def critic_q(critic, obs_vec, action):
-    """State-action value estimate Q(s, a) from the critic MLP."""
-    return _mlp(critic, jnp.concatenate([obs_vec, action], axis=-1))[..., 0]
+    """State-action value estimate Q(s, a).  For a twin critic this returns
+    the FIRST head — the one the actor ascends."""
+    return _mlp(_critic_heads(critic)[0], jnp.concatenate([obs_vec, action], axis=-1))[..., 0]
 
 
 def episode_end_indices(done: jnp.ndarray) -> jnp.ndarray:
@@ -246,19 +269,34 @@ def make_train_step(
         )
         return (env_state, next_obs, params, key), tr
 
-    def critic_loss(critic, params, batch):
+    def critic_loss(critic, params, batch, key):
         s, a, r, s_next, not_term = batch
         a_next = actor_action(params['actor_target'], s_next, cfg.action_scale)
-        q_next = critic_q(params['critic_target'], s_next, a_next)
+        if cfg.target_noise > 0.0:
+            # TD3 target policy smoothing: clipped Gaussian on the backup action
+            eps = jnp.clip(
+                cfg.target_noise * jax.random.normal(key, a_next.shape),
+                -cfg.noise_clip, cfg.noise_clip,
+            ) * cfg.action_scale
+            a_next = jnp.clip(a_next + eps, -cfg.action_scale, cfg.action_scale)
+        q_nexts = [
+            _mlp(c, jnp.concatenate([s_next, a_next], axis=-1))[..., 0]
+            for c in _critic_heads(params['critic_target'])
+        ]
+        # clipped double-Q: the backup bootstraps from the PESSIMISTIC head
+        q_next = q_nexts[0] if len(q_nexts) == 1 else jnp.minimum(*q_nexts)
         # the critic trains on scaled rewards (sparse ±50 -> ±1) with the
         # target clipped into the feasible return range — the standard HER
         # stabilization (without it the ±50 terminals blow up the Bellman
         # targets and the critic never settles)
         y = r * cfg.reward_scale + cfg.gamma * not_term * q_next
         lim = 50.0 * cfg.reward_scale / (1.0 - cfg.gamma)
-        y = jnp.clip(y, -lim, lim)
-        q = critic_q(critic, s, a)
-        return ((q - jax.lax.stop_gradient(y)) ** 2).mean()
+        y = jax.lax.stop_gradient(jnp.clip(y, -lim, lim))
+        qs = [
+            _mlp(c, jnp.concatenate([s, a], axis=-1))[..., 0]
+            for c in _critic_heads(critic)
+        ]
+        return sum(((q - y) ** 2).mean() for q in qs)
 
     def actor_loss(actor, params, s):
         a = actor_action(actor, s, cfg.action_scale)
@@ -306,31 +344,48 @@ def make_train_step(
         if buffer is not None:
             buffer = _replay_insert(buffer, batch)
 
-        def update(carry, k_step):
+        def update(carry, xs):
             params, a_opt, c_opt = carry
+            k_step, step_i = xs
+            k_mb, k_tn = jax.random.split(k_step)
             # replay mode: each update step trains on a fresh uniform
             # minibatch from the buffer; window mode: full-window GD
-            mb = batch if buffer is None else _replay_sample(buffer, k_step, cfg.minibatch)
-            c_l, c_g = jax.value_and_grad(critic_loss)(params['critic'], params, mb)
+            mb = batch if buffer is None else _replay_sample(buffer, k_mb, cfg.minibatch)
+            c_l, c_g = jax.value_and_grad(critic_loss)(params['critic'], params, mb, k_tn)
             c_up, c_opt = critic_opt.update(c_g, c_opt, params['critic'])
             params = dict(params, critic=optax.apply_updates(params['critic'], c_up))
-            a_l, a_g = jax.value_and_grad(actor_loss)(params['actor'], params, mb[0])
-            a_up, a_opt = actor_opt.update(a_g, a_opt, params['actor'])
-            params = dict(params, actor=optax.apply_updates(params['actor'], a_up))
-            # polyak target updates
-            params = dict(
-                params,
-                actor_target=jax.tree_util.tree_map(
-                    lambda t, o: (1 - cfg.tau) * t + cfg.tau * o, params['actor_target'], params['actor']
-                ),
-                critic_target=jax.tree_util.tree_map(
-                    lambda t, o: (1 - cfg.tau) * t + cfg.tau * o, params['critic_target'], params['critic']
-                ),
-            )
+
+            def do_actor(params, a_opt):
+                a_l, a_g = jax.value_and_grad(actor_loss)(params['actor'], params, mb[0])
+                a_up, a_opt = actor_opt.update(a_g, a_opt, params['actor'])
+                params = dict(params, actor=optax.apply_updates(params['actor'], a_up))
+                # polyak target updates (TD3 couples them to the delayed actor step)
+                params = dict(
+                    params,
+                    actor_target=jax.tree_util.tree_map(
+                        lambda t, o: (1 - cfg.tau) * t + cfg.tau * o, params['actor_target'], params['actor']
+                    ),
+                    critic_target=jax.tree_util.tree_map(
+                        lambda t, o: (1 - cfg.tau) * t + cfg.tau * o, params['critic_target'], params['critic']
+                    ),
+                )
+                return params, a_opt, a_l
+
+            if cfg.policy_delay > 1:
+                params, a_opt, a_l = jax.lax.cond(
+                    step_i % cfg.policy_delay == 0,
+                    do_actor,
+                    lambda params, a_opt: (params, a_opt, jnp.float32(0.0)),
+                    params, a_opt,
+                )
+            else:
+                params, a_opt, a_l = do_actor(params, a_opt)
             return (params, a_opt, c_opt), (c_l, a_l)
 
         (params, a_opt, c_opt), (c_losses, a_losses) = jax.lax.scan(
-            update, (params, a_opt, c_opt), jax.random.split(k_upd, cfg.update_steps)
+            update, (params, a_opt, c_opt),
+            (jax.random.split(k_upd, cfg.update_steps),
+             jnp.arange(cfg.update_steps, dtype=jnp.int32)),
         )
         n_done = done.astype(jnp.float32).sum()
         metrics = {
@@ -338,9 +393,13 @@ def make_train_step(
             'actor_loss': a_losses[-1],
             'reward_mean': traj['reward'].mean(),
             'success_rate': traj['success'].astype(jnp.float32).mean(),
-            # of the episodes that ENDED this rollout, the fraction that
-            # ended in success (the reference's eval notion of success)
-            'episode_success_rate': traj['success'].astype(jnp.float32).sum() / jnp.maximum(n_done, 1.0),
+            # of the episodes that ENDED this rollout, the fraction whose
+            # FINAL step was a success (the reference's eval notion; counting
+            # all success-flagged steps overshoots for pushing, where
+            # is_success holds on every at-goal step, not just the last)
+            'episode_success_rate': (
+                (done & traj['success']).astype(jnp.float32).sum() / jnp.maximum(n_done, 1.0)
+            ),
             'collision_rate': (traj['mover_col'] | traj['wall_col']).astype(jnp.float32).mean(),
             'relabeled_frac': used.astype(jnp.float32).mean(),
             'relabel_reward_mean': new_reward.mean(),
