@@ -68,6 +68,12 @@ class HERConfig:
     noise_clip: float = 0.5
     #: actor/target update every k-th critic update (TD3 delayed policy)
     policy_delay: int = 1
+    #: n-step Bellman targets (round 5): each stored transition carries the
+    #: discounted sum of the next n rewards (cut at episode boundaries and,
+    #: for relabeled goals, at relabeled success) and bootstraps from the
+    #: state n steps ahead with per-sample discount gamma^n_eff — the sparse
+    #: -1/step signal propagates n times faster down the value chain
+    n_step: int = 1
 
 
 def _mlp_init(key, sizes, dtype=jnp.float32, out_scale=0.01):
@@ -159,6 +165,42 @@ def relabel_future(key, done, next_achieved, desired, relabel_prob):
     return jnp.where(use[..., None], donor, desired), use
 
 
+def nstep_backup(n: int, gamma: float, done: jnp.ndarray, reward_at, term_at, snext_at):
+    """Per-transition n-step backup pieces over a [T, B] rollout window.
+
+    ``reward_at(k) -> [T, B]``: reward of step t+k judged against transition
+    t's goal; ``term_at(k) -> [T, B]`` its termination flag; ``snext_at(k)``
+    the bootstrap state vector of step t+k.  Chains cut at env episode
+    boundaries (``done``, autoreset), at goal-judged termination, and at the
+    window end (bootstrapping there).  Returns ``(R_n, s_next_n, not_term_n,
+    disc_n)`` where ``R_n[t] = sum_{k<n_eff} gamma^k r_{t+k}`` and
+    ``disc_n = gamma^{n_eff}``."""
+    T = done.shape[0]
+    is_last = (jnp.arange(T) == T - 1)[:, None] & jnp.ones_like(done)
+
+    def shift(x, k):
+        if k == 0:
+            return x
+        pad = jnp.zeros((k,) + x.shape[1:], x.dtype)
+        return jnp.concatenate([x[k:], pad], axis=0)
+
+    zero = jnp.zeros_like(done, jnp.float32)
+    racc, alive = zero, jnp.ones_like(done)
+    s_next_n = jnp.zeros_like(snext_at(0))
+    nt_n, disc_n = zero, zero
+    for k in range(n):
+        r_k = reward_at(k)
+        term_k = term_at(k)
+        racc = racc + jnp.where(alive, (gamma ** k) * r_k, 0.0)
+        stop = shift(done, k) | term_k | shift(is_last, k) | (k == n - 1)
+        final_here = alive & stop
+        s_next_n = jnp.where(final_here[..., None], snext_at(k), s_next_n)
+        nt_n = jnp.where(final_here, 1.0 - term_k.astype(jnp.float32), nt_n)
+        disc_n = jnp.where(final_here, gamma ** (k + 1), disc_n)
+        alive = alive & ~stop
+    return racc, s_next_n, nt_n, disc_n
+
+
 def init_replay(cfg: HERConfig) -> dict:
     """Zero-initialized circular replay buffer (a pytree carried in the
     runner; lives on device / sharded like any other state)."""
@@ -170,13 +212,15 @@ def init_replay(cfg: HERConfig) -> dict:
         'r': jnp.zeros((n,), jnp.float32),
         's_next': jnp.zeros((n, d), jnp.float32),
         'not_term': jnp.zeros((n,), jnp.float32),
+        # per-sample bootstrap discount gamma^n_eff (n-step; == gamma at n=1)
+        'disc': jnp.zeros((n,), jnp.float32),
         'ptr': jnp.zeros((), jnp.int32),
         'filled': jnp.zeros((), jnp.int32),
     }
 
 
 def _replay_insert(buf: dict, batch) -> dict:
-    s, a, r, s_next, not_term = batch
+    s, a, r, s_next, not_term, disc = batch
     n = buf['s'].shape[0]
     m = s.shape[0]
     idx = (buf['ptr'] + jnp.arange(m, dtype=jnp.int32)) % n
@@ -187,6 +231,7 @@ def _replay_insert(buf: dict, batch) -> dict:
         r=buf['r'].at[idx].set(r),
         s_next=buf['s_next'].at[idx].set(s_next),
         not_term=buf['not_term'].at[idx].set(not_term),
+        disc=buf['disc'].at[idx].set(disc),
         ptr=(buf['ptr'] + m) % n,
         filled=jnp.minimum(buf['filled'] + m, n),
     )
@@ -194,7 +239,8 @@ def _replay_insert(buf: dict, batch) -> dict:
 
 def _replay_sample(buf: dict, key, minibatch: int):
     idx = jax.random.randint(key, (minibatch,), 0, jnp.maximum(buf['filled'], 1))
-    return (buf['s'][idx], buf['a'][idx], buf['r'][idx], buf['s_next'][idx], buf['not_term'][idx])
+    return (buf['s'][idx], buf['a'][idx], buf['r'][idx], buf['s_next'][idx],
+            buf['not_term'][idx], buf['disc'][idx])
 
 
 def make_train_step(
@@ -270,7 +316,7 @@ def make_train_step(
         return (env_state, next_obs, params, key), tr
 
     def critic_loss(critic, params, batch, key):
-        s, a, r, s_next, not_term = batch
+        s, a, r, s_next, not_term, disc = batch
         a_next = actor_action(params['actor_target'], s_next, cfg.action_scale)
         if cfg.target_noise > 0.0:
             # TD3 target policy smoothing: clipped Gaussian on the backup action
@@ -289,7 +335,7 @@ def make_train_step(
         # target clipped into the feasible return range — the standard HER
         # stabilization (without it the ±50 terminals blow up the Bellman
         # targets and the critic never settles)
-        y = r * cfg.reward_scale + cfg.gamma * not_term * q_next
+        y = r * cfg.reward_scale + disc * not_term * q_next
         lim = 50.0 * cfg.reward_scale / (1.0 - cfg.gamma)
         y = jax.lax.stop_gradient(jnp.clip(y, -lim, lim))
         qs = [
@@ -326,21 +372,53 @@ def make_train_step(
         def flat2(x):
             return x.reshape((-1,) + x.shape[2:])
 
+        def shift(x, k):
+            """x[t+k] along the window axis, zero-padded past the end (the
+            padding is never read: every chain stops at the window cut)."""
+            if k == 0:
+                return x
+            pad = jnp.zeros((k,) + x.shape[1:], x.dtype)
+            return jnp.concatenate([x[k:], pad], axis=0)
+
+        if cfg.n_step > 1:
+            r_o, sn_o, nt_o, d_o = nstep_backup(
+                cfg.n_step, cfg.gamma, done,
+                lambda k: shift(traj['reward'], k),
+                lambda k: shift(traj['terminated'], k),
+                lambda k: vec(shift(traj['next_obs_part'], k),
+                              shift(traj['next_achieved'], k), traj['desired']),
+            )
+
+            def rel_reward(k):
+                return compute_reward_fn(
+                    shift(traj['next_achieved'], k), new_desired,
+                    shift(traj['mover_col'], k), shift(traj['wall_col'], k),
+                ).astype(jnp.float32)
+
+            r_r, sn_r, nt_r, d_r = nstep_backup(
+                cfg.n_step, cfg.gamma, done,
+                rel_reward, lambda k: terminated_fn(rel_reward(k)),
+                lambda k: vec(shift(traj['next_obs_part'], k),
+                              shift(traj['next_achieved'], k), new_desired),
+            )
+        else:
+            gm = jnp.full_like(done, cfg.gamma, jnp.float32)
+            r_o, sn_o = traj['reward'], vec(traj['next_obs_part'], traj['next_achieved'], traj['desired'])
+            nt_o, d_o = 1.0 - traj['terminated'].astype(jnp.float32), gm
+            r_r, sn_r = new_reward, vec(traj['next_obs_part'], traj['next_achieved'], new_desired)
+            nt_r, d_r = 1.0 - new_term.astype(jnp.float32), gm
+
         # originals + relabeled copies (the standard HER buffer mix)
         s = jnp.concatenate([
             flat2(vec(traj['obs_part'], traj['achieved'], traj['desired'])),
             flat2(vec(traj['obs_part'], traj['achieved'], new_desired)),
         ])
-        s_next = jnp.concatenate([
-            flat2(vec(traj['next_obs_part'], traj['next_achieved'], traj['desired'])),
-            flat2(vec(traj['next_obs_part'], traj['next_achieved'], new_desired)),
-        ])
+        s_next = jnp.concatenate([flat2(sn_o), flat2(sn_r)])
         a = jnp.concatenate([flat2(traj['action'])] * 2)
-        r = jnp.concatenate([flat2(traj['reward']), flat2(new_reward)])
-        not_term = 1.0 - jnp.concatenate(
-            [flat2(traj['terminated']), flat2(new_term)]
-        ).astype(jnp.float32)
-        batch = (s, a, r, s_next, not_term)
+        r = jnp.concatenate([flat2(r_o), flat2(r_r)])
+        not_term = jnp.concatenate([flat2(nt_o), flat2(nt_r)])
+        disc = jnp.concatenate([flat2(d_o), flat2(d_r)])
+        batch = (s, a, r, s_next, not_term, disc)
         if buffer is not None:
             buffer = _replay_insert(buffer, batch)
 

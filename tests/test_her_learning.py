@@ -180,3 +180,67 @@ def test_her_td3_options_run_and_learn_shape():
     # both critic heads trained (moved from init)
     for head_init, head_new in zip(pol['critic'], runner[2]['critic']):
         assert not np.allclose(np.asarray(head_init[0]['w']), np.asarray(head_new[0]['w']))
+
+
+def test_nstep_backup_oracle():
+    """her.nstep_backup vs a per-element python oracle: chains accumulate
+    gamma^k rewards, cut at env done / goal termination / window end, and
+    report the matching bootstrap discount and not_term."""
+    rng = np.random.default_rng(7)
+    T, B, n, gamma = 10, 16, 4, 0.9
+    done = rng.random((T, B)) < 0.2
+    rew = rng.normal(size=(T, B)).astype(np.float32)
+    term = rng.random((T, B)) < 0.1
+    snext = rng.normal(size=(T, B, 3)).astype(np.float32)
+
+    R, SN, NT, D = her.nstep_backup(
+        n, gamma, jnp.asarray(done),
+        lambda k: jnp.asarray(np.concatenate([rew[k:], np.zeros((k, B), np.float32)])),
+        lambda k: jnp.asarray(np.concatenate([term[k:], np.zeros((k, B), bool)])),
+        lambda k: jnp.asarray(np.concatenate([snext[k:], np.zeros((k, B, 3), np.float32)])),
+    )
+    R, SN, NT, D = map(np.asarray, (R, SN, NT, D))
+    for b in range(B):
+        for t in range(T):
+            racc, k = 0.0, 0
+            while True:
+                racc += gamma**k * rew[t + k, b]
+                stop = done[t + k, b] or term[t + k, b] or t + k == T - 1 or k == n - 1
+                if stop:
+                    break
+                k += 1
+            assert np.isclose(R[t, b], racc, atol=1e-5), (t, b)
+            assert np.allclose(SN[t, b], snext[t + k, b]), (t, b)
+            assert NT[t, b] == (0.0 if term[t + k, b] else 1.0), (t, b)
+            assert np.isclose(D[t, b], gamma ** (k + 1)), (t, b)
+
+
+def test_her_nstep_trains():
+    """One train iteration with n_step=3 (+ replay) runs to finite losses and
+    fills the buffer with per-sample discounts in {gamma^1..gamma^3}."""
+    config, params = planning.make_planning_env(
+        np.ones((3, 3)), 1, std_noise=1e-5, num_cycles=2, dtype=jnp.float32, a_max=3.0
+    )
+    cfg = her.HERConfig(
+        obs_dim=2, goal_dim=2, action_dim=2, hidden=(16, 16), action_scale=3.0,
+        rollout_steps=6, update_steps=2, replay_size=4096, minibatch=256,
+        n_step=3, twin_critic=True,
+    )
+    pol = her.init_params(jax.random.PRNGKey(0), cfg)
+    train_step, (a_opt, c_opt) = her.make_train_step(
+        config, params, cfg, planning.step_autoreset,
+        lambda ach, des, mc, wc: planning.compute_reward(config, params, ach, des, mc, wc),
+        lambda r: jnp.abs(r) == 50.0,
+    )
+    B = 64
+    state, obs, _ = planning.init_batch(config, params, jax.random.PRNGKey(1), B)
+    runner = (state, obs, pol, a_opt.init(pol['actor']), c_opt.init(pol['critic']),
+              her.init_replay(cfg), jax.random.PRNGKey(2))
+    runner, m = jax.jit(train_step)(runner)
+    assert np.isfinite(float(m['critic_loss'])) and np.isfinite(float(m['actor_loss']))
+    buf = runner[5]
+    filled = int(buf['filled'])
+    assert filled == 2 * cfg.rollout_steps * B
+    discs = np.unique(np.asarray(buf['disc'])[:filled])
+    expected = np.array([cfg.gamma**k for k in (1, 2, 3)])
+    assert all(np.isclose(expected, d, atol=1e-5).any() for d in discs), discs

@@ -47,7 +47,7 @@ def build(args):
         replay_size=args.replay, minibatch=args.minibatch,
         action_l2=args.action_l2, tau=args.tau,
         twin_critic=args.twin, target_noise=args.target_noise,
-        policy_delay=args.policy_delay,
+        policy_delay=args.policy_delay, n_step=args.n_step,
     )
     pol = her.init_params(jax.random.PRNGKey(args.seed), cfg)
     batched = pushing.make_fused_step_autoreset(config, params) if args.fused else None
@@ -93,6 +93,7 @@ def main() -> None:
     p.add_argument('--twin', action='store_true')
     p.add_argument('--target-noise', type=float, default=0.0)
     p.add_argument('--policy-delay', type=int, default=1)
+    p.add_argument('--n-step', type=int, default=1)
     p.add_argument('--fused', action='store_true', default=True)
     p.add_argument('--no-fused', dest='fused', action='store_false')
     p.add_argument('--eval-every', type=int, default=1000)
