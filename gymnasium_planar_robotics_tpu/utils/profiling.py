@@ -25,7 +25,13 @@ def trace(log_dir: str = '/tmp/gprt_trace'):
 
 
 class ThroughputMeter:
-    """env-steps/sec over a sliding window; host-side, negligible overhead."""
+    """env-steps/sec over a sliding window; host-side, negligible overhead.
+
+    The meter trusts the CALLER to synchronize with the device between
+    ticks (fetch a value from each batch of work — e.g. ``float(metric)``).
+    On tunneled backends ``jax.block_until_ready`` may return before device
+    completion (see docs/performance.md "Timing methodology"), so tick
+    cadences closed only by it can overstate throughput."""
 
     def __init__(self):
         self._t0 = None
