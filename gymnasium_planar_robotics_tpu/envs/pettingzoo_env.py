@@ -80,6 +80,9 @@ class PlanningParallelEnv(ParallelEnv):
             self._key = jax.random.PRNGKey(secrets.randbits(31))
         self._key, sub = jax.random.split(self._key)
         self._state, obs, info = self._reset_jit(sub)
+        # one batched async device->host transfer (each leaf fetch over a
+        # tunneled chip pays a full round trip; see envs/gym_env.py)
+        obs, info = jax.device_get((obs, info))
         self.agents = list(self.possible_agents)
         return self._split_obs(obs), {a: self._shared_info(info) for a in self.agents}
 
@@ -91,6 +94,11 @@ class PlanningParallelEnv(ParallelEnv):
             flat[i] = np.asarray(actions[a])
         self._state, obs, reward, terminated, truncated, info = self._step_jit(
             self._state, jnp.asarray(flat.reshape(-1))
+        )
+        # one batched async device->host transfer (see envs/gym_env.py);
+        # steps rides along for the truncation check below
+        obs, reward, terminated, truncated, info, steps = jax.device_get(
+            (obs, reward, terminated, truncated, info, self._state.steps)
         )
         if self.render_mode is not None:
             self.render()
@@ -111,7 +119,7 @@ class PlanningParallelEnv(ParallelEnv):
         term = bool(terminated)
         # the Gymnasium registrations cap episodes at 50 steps via TimeLimit;
         # the parallel API carries the same limit through truncations
-        trunc = (not term) and int(self._state.steps) >= self.config.max_episode_steps
+        trunc = (not term) and int(steps) >= self.config.max_episode_steps
         terminations = {a: term for a in self.possible_agents}
         truncations = {a: trunc for a in self.possible_agents}
         infos = {a: self._shared_info(info) for a in self.possible_agents}

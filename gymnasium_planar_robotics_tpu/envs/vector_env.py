@@ -98,11 +98,17 @@ class _JaxVectorEnv(gym.vector.VectorEnv):
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             self._state = jax.device_put(self._state, NamedSharding(self._mesh, P('data')))
+        obs, info = jax.device_get((obs, info))  # one batched transfer
         return self._np(obs), self._np(info)
 
     def step(self, actions):
         self._state, obs, reward, terminated, truncated, info = self._step_jit(
             self._state, jnp.asarray(np.asarray(actions))
+        )
+        # one batched async device->host transfer (each leaf fetch over a
+        # tunneled chip pays a full round trip; see envs/gym_env.py)
+        obs, reward, terminated, truncated, info = jax.device_get(
+            (obs, reward, terminated, truncated, info)
         )
         return (
             self._np(obs),
