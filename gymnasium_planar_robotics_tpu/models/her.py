@@ -74,6 +74,14 @@ class HERConfig:
     #: state n steps ahead with per-sample discount gamma^n_eff — the sparse
     #: -1/step signal propagates n times faster down the value chain
     n_step: int = 1
+    #: temporally correlated exploration (round 5): decide the explore_eps
+    #: random-action coin PER EPISODE (redrawn at autoreset boundaries), and
+    #: hold ONE random action direction for the whole episode instead of
+    #: redrawing per step.  Per-step random forces on an inertial mover
+    #: average to zero (it dithers in place); an episode-long random push
+    #: sweeps the workspace — for pushing, that multiplies object-contact
+    #: events, which is what 'future' relabeling learns from
+    explore_per_episode: bool = False
 
 
 def _mlp_init(key, sizes, dtype=jnp.float32, out_scale=0.01):
@@ -285,19 +293,40 @@ def make_train_step(
         def vec(obs_part, achieved, desired):
             return jnp.concatenate([obs_part, achieved, desired], axis=-1).astype(jnp.float32)
 
+    def _explore_init(key, obs):
+        """Episode-exploration carry: (coin [B], held action [B, A]); drawn
+        fresh at each rollout window start, redrawn at autoreset boundaries."""
+        b = obs['achieved_goal'].shape[0]
+        k_c, k_a = jax.random.split(jax.random.fold_in(key, 7))
+        coin = jax.random.uniform(k_c, (b,)) < cfg.explore_eps
+        held = jax.random.uniform(
+            k_a, (b, cfg.action_dim), minval=-cfg.action_scale, maxval=cfg.action_scale
+        )
+        return coin, held
+
     def rollout_body(carry, _):
-        env_state, obs, params, key = carry
+        env_state, obs, params, key, ep_rand, ep_a = carry
         key, k_n, k_e, k_u = jax.random.split(key, 4)
         a = actor_action(params['actor'], vec(obs['observation'], obs['achieved_goal'], obs['desired_goal']), cfg.action_scale)
         a = jnp.clip(a + cfg.explore_std * cfg.action_scale * jax.random.normal(k_n, a.shape), -cfg.action_scale, cfg.action_scale)
         # epsilon-random actions (the exploration half of the standard HER
         # recipe; pure parameter noise rarely leaves the start region)
         rand_a = jax.random.uniform(k_u, a.shape, minval=-cfg.action_scale, maxval=cfg.action_scale)
-        use_rand = jax.random.uniform(k_e, a.shape[:1]) < cfg.explore_eps
-        a = jnp.where(use_rand[:, None], rand_a, a)
+        if cfg.explore_per_episode:
+            # episode-held coin + direction (see HERConfig.explore_per_episode)
+            a = jnp.where(ep_rand[:, None], ep_a, a)
+        else:
+            use_rand = jax.random.uniform(k_e, a.shape[:1]) < cfg.explore_eps
+            a = jnp.where(use_rand[:, None], rand_a, a)
         env_state, next_obs, reward, terminated, truncated, info = batched_env_step(
             env_config, env_params, env_state, a
         )
+        if cfg.explore_per_episode:
+            # redraw the episode coin/direction at autoreset boundaries
+            ep_done = terminated | truncated
+            new_rand = jax.random.uniform(k_e, a.shape[:1]) < cfg.explore_eps
+            ep_rand = jnp.where(ep_done, new_rand, ep_rand)
+            ep_a = jnp.where(ep_done[:, None], rand_a, ep_a)
         fin = info['final_observation']
         tr = dict(
             obs_part=obs['observation'],
@@ -313,7 +342,7 @@ def make_train_step(
             wall_col=info['wall_collision'],
             success=info['is_success'],
         )
-        return (env_state, next_obs, params, key), tr
+        return (env_state, next_obs, params, key, ep_rand, ep_a), tr
 
     def critic_loss(critic, params, batch, key):
         s, a, r, s_next, not_term, disc = batch
@@ -356,8 +385,9 @@ def make_train_step(
             env_state, obs, params, a_opt, c_opt, key = runner
             buffer = None
         key, k_roll, k_rel, k_upd = jax.random.split(key, 4)
-        (env_state, obs, params, _), traj = jax.lax.scan(
-            rollout_body, (env_state, obs, params, k_roll), None, length=cfg.rollout_steps
+        (env_state, obs, params, *_), traj = jax.lax.scan(
+            rollout_body, (env_state, obs, params, k_roll) + _explore_init(k_roll, obs),
+            None, length=cfg.rollout_steps
         )
 
         done = traj['terminated'] | traj['truncated']

@@ -46,6 +46,7 @@ def build(args):
         action_l2=args.action_l2, tau=args.tau,
         twin_critic=args.twin, target_noise=args.target_noise,
         policy_delay=args.policy_delay, n_step=args.n_step,
+        explore_per_episode=args.per_episode,
     )
     pol = her.init_params(jax.random.PRNGKey(args.seed), cfg)
     batched = pushing.make_fused_step_autoreset(config, params) if args.fused else None
@@ -92,6 +93,8 @@ def main() -> None:
     p.add_argument('--target-noise', type=float, default=0.0)
     p.add_argument('--policy-delay', type=int, default=1)
     p.add_argument('--n-step', type=int, default=1)
+    p.add_argument('--per-episode', action='store_true',
+                   help='temporally correlated exploration (episode-held coin + direction)')
     p.add_argument('--fused', action='store_true', default=True)
     p.add_argument('--no-fused', dest='fused', action='store_false')
     p.add_argument('--eval-every', type=int, default=1000)
